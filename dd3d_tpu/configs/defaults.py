@@ -1,0 +1,197 @@
+"""Default config tree.
+
+Key names and default values mirror the reference's composed Hydra tree:
+- model defaults:      tridet configs/models/dd3d.yaml
+- meta-arch defaults:  tridet configs/meta_arch/dd3d.yaml
+- FPN defaults:        tridet configs/feature_extractors/d2_fpn.yaml
+- solver defaults:     tridet configs/common/optimizer.yaml
+- augmentation:        tridet configs/common/augmentation.yaml
+
+TPU-specific additions live under `TPU` (static-shape decode sizes, mesh axes,
+bucketed image shapes) — these have no reference analogue because the
+reference relies on dynamic shapes (`tridet/modeling/dd3d/fcos2d.py:283-337`).
+"""
+from dd3d_tpu.utils.config import CfgNode
+
+# (width, length, height) canonical sizes, KITTI classes.
+# tridet configs/train_datasets/kitti_3d.yaml
+KITTI_CANONICAL_BOX3D_SIZES = [
+    [1.61876949, 3.89154523, 1.52969237],  # Car
+    [0.62806586, 0.82038497, 1.76784787],  # Pedestrian
+    [0.56898187, 1.77149234, 1.7237099],   # Cyclist
+    [1.9134491, 5.15499603, 2.18998422],   # Van
+    [2.61168401, 9.22692319, 3.36492722],  # Truck
+    [0.5390196, 1.08098042, 1.28392158],   # Person_sitting
+    [2.36044838, 15.56991038, 3.5289238],  # Tram
+    [1.24489164, 2.51495357, 1.61402478],  # Misc
+]
+
+KITTI_MEAN_DEPTH_PER_LEVEL = [32.594, 15.178, 8.424, 5.004, 4.662]
+KITTI_STD_DEPTH_PER_LEVEL = [14.682, 7.139, 4.345, 2.399, 2.587]
+
+
+def get_cfg() -> CfgNode:
+    return CfgNode.from_dict(
+        {
+            "MODEL": {
+                "META_ARCHITECTURE": "DD3D",
+                # BGR order, as in the reference (INPUT.FORMAT: BGR).
+                "PIXEL_MEAN": [103.530, 116.280, 123.675],
+                "PIXEL_STD": [57.375, 57.120, 58.395],
+                "CKPT": "",
+                "BOX2D_ON": True,
+                "BOX3D_ON": True,
+                "DEPTH_ON": False,
+            },
+            "FE": {
+                "BUILDER": "build_fcos_dla_fpn_backbone_p67",
+                "BACKBONE": {
+                    "NAME": "DLA-34",
+                    "OUT_FEATURES": ["level3", "level4", "level5"],
+                    "NORM": "BN",
+                },
+                "FPN": {
+                    "IN_FEATURES": ["level3", "level4", "level5"],
+                    "OUT_CHANNELS": 256,
+                    "NORM": "BN",
+                    "FUSE_TYPE": "sum",
+                },
+                "OUT_FEATURES": ["p3", "p4", "p5", "p6", "p7"],
+            },
+            "DD3D": {
+                "IN_FEATURES": None,  # None -> all backbone outputs
+                "NUM_CLASSES": 5,
+                "FEATURE_LOCATIONS_OFFSET": "none",
+                "SIZES_OF_INTEREST": [64, 128, 256, 512],
+                "INFERENCE": {
+                    "DO_NMS": True,
+                    "DO_POSTPROCESS": True,
+                    "DO_BEV_NMS": False,
+                    "BEV_NMS_IOU_THRESH": 0.3,
+                    "NUSC_SAMPLE_AGGREGATE": False,
+                },
+                "FCOS2D": {
+                    "_VERSION": "v2",
+                    "NORM": "BN",
+                    "NUM_CLS_CONVS": 4,
+                    "NUM_BOX_CONVS": 4,
+                    "USE_SCALE": True,
+                    "BOX2D_SCALE_INIT_FACTOR": 1.0,
+                    "LOSS": {
+                        "ALPHA": 0.25,
+                        "GAMMA": 2.0,
+                        "LOC_LOSS_TYPE": "giou",
+                    },
+                    "INFERENCE": {
+                        "THRESH_WITH_CTR": True,
+                        "PRE_NMS_THRESH": 0.05,
+                        "PRE_NMS_TOPK": 1000,
+                        "POST_NMS_TOPK": 100,
+                        "NMS_THRESH": 0.6,
+                    },
+                },
+                "FCOS3D": {
+                    "NORM": "BN",
+                    "NUM_CONVS": 4,
+                    "USE_SCALE": True,
+                    "DEPTH_SCALE_INIT_FACTOR": 0.3,
+                    "PROJ_CTR_SCALE_INIT_FACTOR": 1.0,
+                    "PER_LEVEL_PREDICTORS": False,
+                    "SCALE_DEPTH_BY_FOCAL_LENGTHS": True,
+                    "SCALE_DEPTH_BY_FOCAL_LENGTHS_FACTOR": 500.0,
+                    "MEAN_DEPTH_PER_LEVEL": KITTI_MEAN_DEPTH_PER_LEVEL,
+                    "STD_DEPTH_PER_LEVEL": KITTI_STD_DEPTH_PER_LEVEL,
+                    "MIN_DEPTH": 0.1,
+                    "MAX_DEPTH": 80.0,
+                    "CANONICAL_BOX3D_SIZES": KITTI_CANONICAL_BOX3D_SIZES,
+                    "CLASS_AGNOSTIC_BOX3D": False,
+                    "PREDICT_ALLOCENTRIC_ROT": True,
+                    "PREDICT_DISTANCE": False,
+                    "LOSS": {
+                        "SMOOTH_L1_BETA": 0.05,
+                        "MAX_LOSS_PER_GROUP_DISENT": 20.0,
+                        "CONF_3D_TEMPERATURE": 1.0,
+                        "WEIGHT_BOX3D": 2.0,
+                        "WEIGHT_CONF3D": 1.0,
+                    },
+                    "PREPARE_TARGET": {
+                        "CENTER_SAMPLE": True,
+                        "POS_RADIUS": 1.5,
+                    },
+                },
+            },
+            "INPUT": {
+                "FORMAT": "BGR",
+                "AUG_ENABLED": True,
+                "RESIZE": {
+                    "ENABLED": True,
+                    "MIN_SIZE_TRAIN": [288, 304, 320, 336, 352, 368, 384, 400, 416, 448, 480, 512, 544, 576],
+                    "MIN_SIZE_TRAIN_SAMPLING": "choice",
+                    "MAX_SIZE_TRAIN": 10000,
+                    "MIN_SIZE_TEST": 384,
+                    "MAX_SIZE_TEST": 100000,
+                },
+                "CROP": {"ENABLED": False, "TYPE": "relative_range", "SIZE": [0.9, 0.9]},
+                "RANDOM_FLIP": {"ENABLED": True, "HORIZONTAL": True, "VERTICAL": False},
+                "COLOR_JITTER": {
+                    "ENABLED": True,
+                    "BRIGHTNESS": [0.2, 0.2],
+                    "SATURATION": [0.2, 0.2],
+                    "CONTRAST": [0.2, 0.2],
+                },
+            },
+            "DATASETS": {
+                "TRAIN": {"NAME": "kitti_3d_train", "NUM_CLASSES": 5},
+                "TEST": {"NAME": "kitti_3d_val"},
+            },
+            "DATALOADER": {
+                "TRAIN": {"NUM_WORKERS": 8, "SAMPLER": "TrainingSampler", "REPEAT_THRESHOLD": 0.4},
+                "TEST": {"NUM_WORKERS": 4},
+            },
+            "SOLVER": {
+                "IMS_PER_BATCH": 16,
+                "BASE_LR": 0.001,
+                "MOMENTUM": 0.9,
+                "NESTEROV": False,
+                "WEIGHT_DECAY": 0.0001,
+                "WEIGHT_DECAY_NORM": 0.0,
+                "BIAS_LR_FACTOR": 1.0,
+                "GAMMA": 0.1,
+                "LR_SCHEDULER_NAME": "WarmupMultiStepLR",
+                "STEPS": [30000],
+                "MAX_ITER": 40000,
+                "WARMUP_FACTOR": 0.0001,
+                "WARMUP_ITERS": 2000,
+                "WARMUP_METHOD": "linear",
+                "CLIP_GRADIENTS": {"ENABLED": False, "CLIP_TYPE": "value", "CLIP_VALUE": 1.0, "NORM_TYPE": 2.0},
+                "CHECKPOINT_PERIOD": 5000,
+                "MIXED_PRECISION_ENABLED": False,
+                "ACCUMULATE_GRAD_BATCHES": 1,
+                "SYNCBN_USE_LOCAL_WORKERS": False,
+            },
+            "TEST": {
+                "IMS_PER_BATCH": 8,
+                "EVAL_PERIOD": 2000,
+                "AUG": {
+                    "ENABLED": False,
+                    "MIN_SIZES": [320, 384, 448, 512, 576],
+                    "MAX_SIZE": 100000,
+                    "FLIP": True,
+                },
+            },
+            # TPU-native knobs (no reference analogue).
+            "TPU": {
+                # Compute dtype for conv stacks; params always fp32.
+                "COMPUTE_DTYPE": "bfloat16",
+                # Static candidate count per level taken before NMS (replaces the
+                # dynamic nonzero/topk in tridet/modeling/dd3d/fcos2d.py:283-337).
+                "PRE_NMS_CANDIDATES_PER_LEVEL": 256,
+                # Max padded GT boxes per image for vectorized target assignment.
+                "MAX_GT_PER_IMAGE": 64,
+                # Mesh axis names: data-parallel axis.
+                "MESH_AXES": ["data"],
+            },
+            "EVAL_ONLY": False,
+            "OUTPUT_ROOT": "./outputs",
+        }
+    )

@@ -1,0 +1,302 @@
+"""DD3D meta-architecture: backbone -> FPN -> FCOS2D/FCOS3D heads, plus the
+pure-function training-loss and shape-static inference paths.
+
+Rebuild of `tridet/modeling/dd3d/core.py` (class DD3D). Differences forced by
+TPU-first design:
+- the module is purely functional (flax); per-level outputs are returned as
+  lists of NHWC arrays,
+- image batches arrive pre-padded to static bucketed shapes (the data
+  pipeline owns `ImageList`'s pad-to-divisibility, image_list.py:124-127),
+- training targets and losses are dense masked computations (see
+  prepare_targets.py / fcos2d.py / fcos3d.py),
+- inference is one XLA program: per-level static top-k decode -> concat ->
+  class-aware padded NMS -> fixed (B, POST_NMS_TOPK) outputs + valid mask.
+"""
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dd3d_tpu.models import register_meta_arch, build_feature_extractor
+from dd3d_tpu.models.fcos2d import FCOS2DHead, decode_fcos2d_level, fcos2d_loss
+from dd3d_tpu.models.fcos3d import FCOS3DHead, decode_fcos3d_candidates, fcos3d_loss
+from dd3d_tpu.models.prepare_targets import build_location_bases, prepare_targets
+from dd3d_tpu.ops.nms import NEG_INF, batched_nms_padded
+
+
+class DD3D(nn.Module):
+    """Flagship meta-arch. cf. tridet/modeling/dd3d/core.py:18-175."""
+
+    backbone: nn.Module
+    num_classes: int
+    strides: Sequence[int]
+    pixel_mean: Tuple[float, ...]
+    pixel_std: Tuple[float, ...]
+    fcos2d_norm: str = "BN"
+    fcos2d_num_cls_convs: int = 4
+    fcos2d_num_box_convs: int = 4
+    fcos2d_use_scale: bool = True
+    fcos2d_scale_init: float = 1.0
+    fcos3d_on: bool = True
+    fcos3d_norm: str = "FrozenBN"
+    fcos3d_num_convs: int = 4
+    fcos3d_use_scale: bool = True
+    fcos3d_depth_scale_init_factor: float = 0.3
+    fcos3d_proj_ctr_scale_init_factor: float = 1.0
+    fcos3d_per_level_predictors: bool = False
+    fcos3d_class_agnostic: bool = False
+    mean_depth_per_level: Tuple[float, ...] = ()
+    std_depth_per_level: Tuple[float, ...] = ()
+    dtype: Any = jnp.bfloat16
+
+    def preprocess_image(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Normalize raw BGR images (core.py:60-62)."""
+        mean = jnp.asarray(self.pixel_mean, dtype=jnp.float32)
+        std = jnp.asarray(self.pixel_std, dtype=jnp.float32)
+        return ((x - mean) / std).astype(self.dtype)
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, train: bool = False) -> Dict[str, List[jnp.ndarray]]:
+        x = self.preprocess_image(images)
+        feats = self.backbone(x, train=train)
+        level_names = sorted(feats.keys(), key=lambda k: int(k[1:]))
+        features = [feats[k] for k in level_names]
+
+        logits, box2d_reg, centerness, cls_tower_out = FCOS2DHead(
+            num_classes=self.num_classes,
+            in_strides=tuple(self.strides),
+            num_cls_convs=self.fcos2d_num_cls_convs,
+            num_box_convs=self.fcos2d_num_box_convs,
+            norm=self.fcos2d_norm,
+            use_scale=self.fcos2d_use_scale,
+            box2d_scale_init_factor=self.fcos2d_scale_init,
+            dtype=self.dtype,
+            name="fcos2d_head",
+        )(features, train=train)
+
+        out = {
+            "logits": logits,
+            "box2d_reg": box2d_reg,
+            "centerness": centerness,
+            "cls_tower_out": cls_tower_out,
+        }
+
+        if self.fcos3d_on:
+            quat, ctr, depth, size, conf = FCOS3DHead(
+                num_classes=self.num_classes,
+                in_strides=tuple(self.strides),
+                mean_depth_per_level=tuple(self.mean_depth_per_level),
+                std_depth_per_level=tuple(self.std_depth_per_level),
+                num_convs=self.fcos3d_num_convs,
+                norm=self.fcos3d_norm,
+                use_scale=self.fcos3d_use_scale,
+                depth_scale_init_factor=self.fcos3d_depth_scale_init_factor,
+                proj_ctr_scale_init_factor=self.fcos3d_proj_ctr_scale_init_factor,
+                per_level_predictors=self.fcos3d_per_level_predictors,
+                class_agnostic=self.fcos3d_class_agnostic,
+                dtype=self.dtype,
+                name="fcos3d_head",
+            )(features, train=train)
+            out.update({"quat": quat, "proj_ctr": ctr, "depth": depth, "size": size, "conf": conf})
+        return out
+
+
+@register_meta_arch("DD3D")
+def build_dd3d(cfg) -> DD3D:
+    backbone = build_feature_extractor(cfg)
+    strides = [backbone.out_feature_strides[f] for f in backbone.out_features]
+    return DD3D(
+        backbone=backbone,
+        num_classes=cfg.DD3D.NUM_CLASSES,
+        strides=tuple(strides),
+        pixel_mean=tuple(cfg.MODEL.PIXEL_MEAN),
+        pixel_std=tuple(cfg.MODEL.PIXEL_STD),
+        fcos2d_norm=cfg.DD3D.FCOS2D.NORM,
+        fcos2d_num_cls_convs=cfg.DD3D.FCOS2D.NUM_CLS_CONVS,
+        fcos2d_num_box_convs=cfg.DD3D.FCOS2D.NUM_BOX_CONVS,
+        fcos2d_use_scale=cfg.DD3D.FCOS2D.USE_SCALE,
+        fcos2d_scale_init=cfg.DD3D.FCOS2D.BOX2D_SCALE_INIT_FACTOR,
+        fcos3d_on=cfg.MODEL.BOX3D_ON,
+        fcos3d_norm=cfg.DD3D.FCOS3D.NORM,
+        fcos3d_num_convs=cfg.DD3D.FCOS3D.NUM_CONVS,
+        fcos3d_use_scale=cfg.DD3D.FCOS3D.USE_SCALE,
+        fcos3d_depth_scale_init_factor=cfg.DD3D.FCOS3D.DEPTH_SCALE_INIT_FACTOR,
+        fcos3d_proj_ctr_scale_init_factor=cfg.DD3D.FCOS3D.PROJ_CTR_SCALE_INIT_FACTOR,
+        fcos3d_per_level_predictors=cfg.DD3D.FCOS3D.PER_LEVEL_PREDICTORS,
+        fcos3d_class_agnostic=cfg.DD3D.FCOS3D.CLASS_AGNOSTIC_BOX3D,
+        mean_depth_per_level=tuple(cfg.DD3D.FCOS3D.MEAN_DEPTH_PER_LEVEL),
+        std_depth_per_level=tuple(cfg.DD3D.FCOS3D.STD_DEPTH_PER_LEVEL),
+        dtype=jnp.dtype(cfg.TPU.COMPUTE_DTYPE),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure-function training loss path (cf. DD3D.forward training branch,
+# core.py:95-112).
+# ---------------------------------------------------------------------------
+
+def flatten_levels(outputs: List[jnp.ndarray]) -> jnp.ndarray:
+    """[per-level (B, H, W, C)] -> (B, P, C) fp32, level-major along P."""
+    b = outputs[0].shape[0]
+    return jnp.concatenate(
+        [x.astype(jnp.float32).reshape(b, -1, x.shape[-1]) for x in outputs], axis=1
+    )
+
+
+def feature_shapes_for(image_hw: Tuple[int, int], strides: Sequence[int]) -> List[Tuple[int, int]]:
+    h, w = image_hw
+    return [(h // s, w // s) for s in strides]
+
+
+def dd3d_losses(cfg, outputs: Dict[str, List[jnp.ndarray]], batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Full DD3D training loss from raw per-level head outputs."""
+    strides = _strides_from_outputs(cfg, outputs)
+    shapes = [x.shape[1:3] for x in outputs["logits"]]
+    locations, loc_strides, loc_ranges, _ = build_location_bases(
+        shapes, strides, cfg.DD3D.SIZES_OF_INTEREST, cfg.DD3D.FEATURE_LOCATIONS_OFFSET
+    )
+
+    targets = prepare_targets(
+        locations, loc_strides, loc_ranges,
+        batch["gt_boxes2d"], batch["gt_classes"], batch["gt_boxes3d"], batch["gt_valid"],
+        num_classes=cfg.DD3D.NUM_CLASSES,
+        center_sample=cfg.DD3D.FCOS3D.PREPARE_TARGET.CENTER_SAMPLE,
+        pos_radius=cfg.DD3D.FCOS3D.PREPARE_TARGET.POS_RADIUS,
+    )
+
+    logits_flat = flatten_levels(outputs["logits"])
+    box2d_flat = flatten_levels(outputs["box2d_reg"])
+    ctr_flat = flatten_levels(outputs["centerness"])[..., 0]
+
+    losses, extra = fcos2d_loss(
+        logits_flat, box2d_flat, ctr_flat, targets,
+        focal_alpha=cfg.DD3D.FCOS2D.LOSS.ALPHA,
+        focal_gamma=cfg.DD3D.FCOS2D.LOSS.GAMMA,
+        loc_loss_type=cfg.DD3D.FCOS2D.LOSS.LOC_LOSS_TYPE,
+    )
+
+    if cfg.MODEL.BOX3D_ON:
+        inv_intrinsics = jnp.linalg.inv(batch["intrinsics"].astype(jnp.float32))
+        canon = jnp.asarray(cfg.DD3D.FCOS3D.CANONICAL_BOX3D_SIZES, dtype=jnp.float32)
+        losses3d = fcos3d_loss(
+            flatten_levels(outputs["quat"]),
+            flatten_levels(outputs["proj_ctr"]),
+            flatten_levels(outputs["depth"]),
+            flatten_levels(outputs["size"]),
+            flatten_levels(outputs["conf"]),
+            targets, extra, inv_intrinsics, locations, canon, cfg.DD3D.FCOS3D,
+        )
+        losses.update(losses3d)
+    return losses
+
+
+def _strides_from_outputs(cfg, outputs) -> List[int]:
+    # p3..p7 strides; infer from config FE tree (p{k} => 2**k).
+    n = len(outputs["logits"])
+    return [2 ** (3 + i) for i in range(n)]
+
+
+# ---------------------------------------------------------------------------
+# Shape-static inference path (cf. DD3D.forward inference branch,
+# core.py:113-164).
+# ---------------------------------------------------------------------------
+
+def dd3d_inference(
+    cfg,
+    outputs: Dict[str, List[jnp.ndarray]],
+    intrinsics: Optional[jnp.ndarray],
+) -> Dict[str, jnp.ndarray]:
+    """Decode head outputs into fixed-size detections.
+
+    Returns dict with (B, D) arrays (D = POST_NMS_TOPK):
+      boxes2d (B, D, 4), scores, scores_3d, classes, valid and the 3D box
+      fields. Boxes are in network-input resolution; host-side postprocess
+      rescales to the original image (core.py:153-160).
+    """
+    strides = _strides_from_outputs(cfg, outputs)
+    inf2d = cfg.DD3D.FCOS2D.INFERENCE
+    box3d_on = cfg.MODEL.BOX3D_ON and ("quat" in outputs)
+
+    cands = []
+    for l, stride in enumerate(strides):
+        h, w = outputs["logits"][l].shape[1:3]
+        from dd3d_tpu.ops.locations import compute_feature_locations
+
+        locations = compute_feature_locations(h, w, stride, cfg.DD3D.FEATURE_LOCATIONS_OFFSET)
+        cand = decode_fcos2d_level(
+            outputs["logits"][l],
+            outputs["box2d_reg"][l],
+            outputs["centerness"][l],
+            locations,
+            num_candidates=cfg.TPU.PRE_NMS_CANDIDATES_PER_LEVEL,
+            pre_nms_thresh=inf2d.PRE_NMS_THRESH,
+            thresh_with_ctr=inf2d.THRESH_WITH_CTR,
+        )
+        if box3d_on:
+            canon = jnp.asarray(cfg.DD3D.FCOS3D.CANONICAL_BOX3D_SIZES, dtype=jnp.float32)
+            inv_k = jnp.linalg.inv(intrinsics.astype(jnp.float32))
+            cand.update(
+                decode_fcos3d_candidates(
+                    outputs["quat"][l], outputs["proj_ctr"][l], outputs["depth"][l],
+                    outputs["size"][l], outputs["conf"][l],
+                    cand, inv_k, canon, cfg.DD3D.FCOS3D,
+                    num_classes=cfg.DD3D.NUM_CLASSES,
+                    class_agnostic=cfg.DD3D.FCOS3D.CLASS_AGNOSTIC_BOX3D,
+                )
+            )
+        cand["fpn_level"] = jnp.full_like(cand["cls"], l)
+        cand.pop("loc_idx")
+        cands.append(cand)
+
+    merged = {k: jnp.concatenate([c[k] for c in cands], axis=1) for k in cands[0]}
+
+    score_key = "score_3d" if box3d_on else "score"
+    nms_scores = merged[score_key]
+
+    if inf2d.NMS_THRESH > 0 and cfg.DD3D.INFERENCE.DO_NMS:
+        def per_image(boxes, scores, classes):
+            return batched_nms_padded(boxes, scores, classes, inf2d.NMS_THRESH, inf2d.POST_NMS_TOPK)
+
+        order, keep = jax.vmap(per_image)(merged["box"], nms_scores, merged["cls"])
+    else:
+        order = jnp.argsort(-nms_scores, axis=1)
+        rank = jnp.arange(order.shape[1])[None]
+        keep = jnp.take_along_axis(merged["valid"], order, axis=1) & (rank < inf2d.POST_NMS_TOPK)
+
+    # Compact kept boxes to the front (stable: preserves score order), then
+    # truncate to the fixed output size D.
+    compact = jnp.argsort(~keep, axis=1, stable=True)
+    order = jnp.take_along_axis(order, compact, axis=1)
+    keep = jnp.take_along_axis(keep, compact, axis=1)
+
+    d = inf2d.POST_NMS_TOPK
+
+    def take_sorted(x):
+        idx = order
+        if x.ndim == 3:
+            g = jnp.take_along_axis(x, idx[..., None], axis=1)
+        else:
+            g = jnp.take_along_axis(x, idx, axis=1)
+        return g[:, :d]
+
+    keep_d = keep[:, :d]
+    result = {
+        "boxes2d": take_sorted(merged["box"]),
+        "scores": jnp.where(keep_d, jnp.maximum(take_sorted(merged["score"]), 0.0), 0.0),
+        "classes": take_sorted(merged["cls"]),
+        "fpn_levels": take_sorted(merged["fpn_level"]),
+        "valid": keep_d,
+    }
+    if box3d_on:
+        result.update(
+            {
+                "scores_3d": jnp.where(keep_d, jnp.maximum(take_sorted(merged["score_3d"]), 0.0), 0.0),
+                "boxes3d_quat": take_sorted(merged["boxes3d_quat"]),
+                "boxes3d_proj_ctr": take_sorted(merged["boxes3d_proj_ctr"]),
+                "boxes3d_depth": take_sorted(merged["boxes3d_depth"]),
+                "boxes3d_size": take_sorted(merged["boxes3d_size"]),
+                "conf3d": take_sorted(merged["conf3d"]),
+            }
+        )
+    return result

@@ -1,0 +1,208 @@
+"""FCOS2D head, loss, and shape-static inference decode.
+
+Rebuild of `tridet/modeling/dd3d/fcos2d.py`:
+- `FCOS2DHead` (v2): shared cls/box2d conv towers with PER-LEVEL batch norms
+  (the reference's `ModuleListDial`), predictors for class logits / ltrb box
+  regression (relu'd) / centerness, learnable per-level `Scale` on box reg.
+- `fcos2d_loss`: sigmoid focal (cls) + centerness-weighted gIoU (box) + BCE
+  (centerness), with the reference's cross-worker normalizers expressed as
+  GLOBAL-batch sums (a jitted global-batch reduction on a TPU mesh is exactly
+  the reference's `reduce_sum` all-reduce, fcos2d.py:186-189,220-227).
+- `decode_fcos2d_level`: fixed-size top-k candidate selection per level,
+  replacing the dynamic nonzero/topk python loop (fcos2d.py:283-337).
+
+Loss math runs in fp32 over DENSE (B, P) location arrays with masks — no
+dynamic gathers; the masked-dense form is the TPU-native equivalent of the
+reference's `pos_inds` indexing.
+"""
+from typing import Any, Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dd3d_tpu.models.layers import PerLevelNorms, Scale, kaiming_normal_fan_out, kaiming_uniform_a1
+from dd3d_tpu.ops.losses import iou_loss_ltrb, optax_sigmoid_bce, sigmoid_focal_loss
+from dd3d_tpu.ops.nms import NEG_INF
+
+
+def compute_ctrness_targets(reg_targets: jnp.ndarray) -> jnp.ndarray:
+    """sqrt((min_lr / max_lr) * (min_tb / max_tb)); safe at empty boxes.
+    cf. tridet/modeling/dd3d/fcos2d.py:20-27."""
+    lr = reg_targets[..., jnp.asarray([0, 2])]
+    tb = reg_targets[..., jnp.asarray([1, 3])]
+    lr_ratio = jnp.min(lr, -1) / jnp.maximum(jnp.max(lr, -1), 1e-9)
+    tb_ratio = jnp.min(tb, -1) / jnp.maximum(jnp.max(tb, -1), 1e-9)
+    return jnp.sqrt(jnp.maximum(lr_ratio * tb_ratio, 0.0))
+
+
+class FCOS2DHead(nn.Module):
+    """Shared towers + predictors applied to each FPN level.
+
+    Returns per-level dicts of NHWC outputs plus the cls-tower features
+    (consumed by the nuScenes attribute/speed heads,
+    tridet/modeling/dd3d/nuscenes_dd3d.py:371-374).
+    """
+
+    num_classes: int
+    in_strides: Sequence[int]
+    num_cls_convs: int = 4
+    num_box_convs: int = 4
+    norm: str = "BN"
+    use_scale: bool = True
+    box2d_scale_init_factor: float = 1.0
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, features: List[jnp.ndarray], train: bool = False):
+        num_levels = len(features)
+        in_channels = features[0].shape[-1]
+
+        cls_convs = [
+            nn.Conv(in_channels, (3, 3), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                    kernel_init=kaiming_normal_fan_out, name=f"cls_tower_conv{i}")
+            for i in range(self.num_cls_convs)
+        ]
+        cls_norms = [
+            PerLevelNorms(num_levels, in_channels, self.norm, dtype=self.dtype, name=f"cls_tower_norm{i}")
+            for i in range(self.num_cls_convs)
+        ]
+        box_convs = [
+            nn.Conv(in_channels, (3, 3), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+                    kernel_init=kaiming_normal_fan_out, name=f"box2d_tower_conv{i}")
+            for i in range(self.num_box_convs)
+        ]
+        box_norms = [
+            PerLevelNorms(num_levels, in_channels, self.norm, dtype=self.dtype, name=f"box2d_tower_norm{i}")
+            for i in range(self.num_box_convs)
+        ]
+        cls_logits = nn.Conv(self.num_classes, (3, 3), dtype=self.dtype, param_dtype=jnp.float32,
+                             kernel_init=kaiming_uniform_a1, name="cls_logits")
+        box2d_reg = nn.Conv(4, (3, 3), dtype=self.dtype, param_dtype=jnp.float32,
+                            kernel_init=kaiming_uniform_a1, name="box2d_reg")
+        centerness = nn.Conv(1, (3, 3), dtype=self.dtype, param_dtype=jnp.float32,
+                             kernel_init=kaiming_uniform_a1, name="centerness")
+        scales = (
+            [Scale(init_value=float(s) * self.box2d_scale_init_factor, name=f"scale_box2d_reg{l}")
+             for l, s in enumerate(self.in_strides)]
+            if self.use_scale else None
+        )
+
+        logits, box_reg_out, ctr_out, cls_tower_out = [], [], [], []
+        for l, feat in enumerate(features):
+            x_cls = feat
+            for conv, norm in zip(cls_convs, cls_norms):
+                x_cls = nn.relu(norm(conv(x_cls), l, train))
+            x_box = feat
+            for conv, norm in zip(box_convs, box_norms):
+                x_box = nn.relu(norm(conv(x_box), l, train))
+
+            logits.append(cls_logits(x_cls))
+            ctr_out.append(centerness(x_box))
+            reg = box2d_reg(x_box)
+            if scales is not None:
+                reg = scales[l](reg)
+            # relu (improved-FCOS), not exp (fcos2d.py:151).
+            box_reg_out.append(nn.relu(reg))
+            cls_tower_out.append(x_cls)
+
+        return logits, box_reg_out, ctr_out, cls_tower_out
+
+
+def fcos2d_loss(
+    logits_flat: jnp.ndarray,  # (B, P, C) fp32
+    box2d_reg_flat: jnp.ndarray,  # (B, P, 4) fp32
+    centerness_flat: jnp.ndarray,  # (B, P) fp32
+    targets: Dict[str, jnp.ndarray],
+    focal_alpha: float = 0.25,
+    focal_gamma: float = 2.0,
+    loc_loss_type: str = "giou",
+) -> Tuple[Dict[str, jnp.ndarray], Dict[str, jnp.ndarray]]:
+    """Global-batch FCOS2D losses. cf. tridet/modeling/dd3d/fcos2d.py:159-239.
+
+    The reference normalizes by cross-worker positive count / centerness sum
+    divided by world size, then DDP averages gradients — globally equivalent
+    to sum/global_total, which is what we compute (XLA inserts the psum when
+    the batch is sharded over the mesh).
+    """
+    num_classes = logits_flat.shape[-1]
+    labels = targets["labels"]  # (B, P) int32, num_classes == background
+    box2d_tgt = targets["box2d_reg_targets"]  # (B, P, 4)
+    pos = targets["pos_mask"].astype(jnp.float32)  # (B, P)
+
+    num_pos = jnp.maximum(jnp.sum(pos), 1.0)
+
+    cls_target = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32) * pos[..., None]
+    loss_cls = jnp.sum(sigmoid_focal_loss(logits_flat, cls_target, focal_alpha, focal_gamma)) / num_pos
+
+    ctr_targets = compute_ctrness_targets(box2d_tgt)  # (B, P)
+    ctr_targets = ctr_targets * pos
+    loss_denom = jnp.maximum(jnp.sum(ctr_targets), 1e-6)
+
+    iou_elem = iou_loss_ltrb(box2d_reg_flat, box2d_tgt, loc_loss_type)  # (B, P)
+    loss_box2d = jnp.sum(iou_elem * ctr_targets * pos) / loss_denom
+
+    ctr_bce = optax_sigmoid_bce(centerness_flat, ctr_targets)
+    loss_ctr = jnp.sum(ctr_bce * pos) / num_pos
+
+    losses = {"loss_cls": loss_cls, "loss_box2d_reg": loss_box2d, "loss_centerness": loss_ctr}
+    extra = {"loss_denom": loss_denom, "centerness_targets": ctr_targets, "num_pos": num_pos}
+    return losses, extra
+
+
+def decode_fcos2d_level(
+    logits: jnp.ndarray,  # (B, H, W, C)
+    box2d_reg: jnp.ndarray,  # (B, H, W, 4)
+    centerness: jnp.ndarray,  # (B, H, W, 1)
+    locations: jnp.ndarray,  # (H*W, 2)
+    num_candidates: int,
+    pre_nms_thresh: float,
+    thresh_with_ctr: bool = True,
+) -> Dict[str, jnp.ndarray]:
+    """Fixed-size candidate selection for one FPN level.
+
+    Returns per-candidate arrays of shape (B, K):
+      score (sqrt'd, cf. fcos2d.py:333), box (B, K, 4 xyxy), cls, loc_idx
+      (into the level's H*W grid, for the 3D head gather), valid.
+    Padding candidates carry score NEG_INF.
+    """
+    b, h, w, c = logits.shape
+    k = min(num_candidates, h * w * c)
+
+    scores = jax.nn.sigmoid(logits.astype(jnp.float32).reshape(b, h * w, c))
+    ctr = jax.nn.sigmoid(centerness.astype(jnp.float32).reshape(b, h * w, 1))
+    reg = box2d_reg.astype(jnp.float32).reshape(b, h * w, 4)
+
+    if thresh_with_ctr:
+        combined = scores * ctr
+        candidate_mask = combined > pre_nms_thresh
+    else:
+        candidate_mask = scores > pre_nms_thresh
+        combined = scores * ctr
+
+    flat_scores = jnp.where(candidate_mask, combined, NEG_INF).reshape(b, h * w * c)
+    top_vals, top_idx = jax.lax.top_k(flat_scores, k)  # (B, K)
+    loc_idx = top_idx // c
+    cls_idx = top_idx % c
+    valid = top_vals > NEG_INF / 2
+
+    reg_k = jnp.take_along_axis(reg, loc_idx[..., None], axis=1)  # (B, K, 4)
+    loc_k = locations[loc_idx]  # (B, K, 2)
+    boxes = jnp.stack(
+        [
+            loc_k[..., 0] - reg_k[..., 0],
+            loc_k[..., 1] - reg_k[..., 1],
+            loc_k[..., 0] + reg_k[..., 2],
+            loc_k[..., 1] + reg_k[..., 3],
+        ],
+        axis=-1,
+    )
+    score = jnp.where(valid, jnp.sqrt(jnp.maximum(top_vals, 0.0)), NEG_INF)
+    return {
+        "score": score,
+        "box": boxes,
+        "cls": cls_idx,
+        "loc_idx": loc_idx,
+        "locations": loc_k,
+        "valid": valid,
+    }

@@ -1,0 +1,101 @@
+"""Shape-static NMS for TPU.
+
+Replaces the reference's dynamic-shape detectron2 CUDA ops:
+- `batched_nms` (class-aware, axis-aligned) used in
+  tridet/modeling/dd3d/fcos2d.py:346-367,
+- the post-NMS top-k via `kthvalue` (same lines).
+
+Everything here takes FIXED-size inputs with a validity encoding
+(score == NEG_INF means "no box") and produces fixed-size outputs with a keep
+mask, so the whole inference path stays inside one XLA program with no host
+sync. Exact greedy semantics (same keep set as torchvision NMS) via a
+sequential `lax.fori_loop` over score-sorted candidates with vectorized
+suppression — O(N) tiny steps + one O(N^2) IoU matrix, which XLA fuses well
+for the N <= few-thousand regime of detection decode.
+"""
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e10
+
+
+def pairwise_iou_xyxy(boxes_a: jnp.ndarray, boxes_b: jnp.ndarray) -> jnp.ndarray:
+    """(N, 4) x (M, 4) xyxy boxes -> (N, M) IoU."""
+    ax1, ay1, ax2, ay2 = jnp.split(boxes_a, 4, axis=-1)  # each (N, 1)
+    bx1, by1, bx2, by2 = [v[:, 0] for v in jnp.split(boxes_b, 4, axis=-1)]  # each (M,)
+
+    inter_w = jnp.maximum(0.0, jnp.minimum(ax2, bx2[None]) - jnp.maximum(ax1, bx1[None]))
+    inter_h = jnp.maximum(0.0, jnp.minimum(ay2, by2[None]) - jnp.maximum(ay1, by1[None]))
+    inter = inter_w * inter_h
+
+    area_a = jnp.maximum(0.0, ax2 - ax1) * jnp.maximum(0.0, ay2 - ay1)  # (N, 1)
+    area_b = jnp.maximum(0.0, bx2 - bx1) * jnp.maximum(0.0, by2 - by1)  # (M,)
+    union = area_a + area_b[None] - inter
+    return inter / jnp.maximum(union, 1e-9)
+
+
+def greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float) -> jnp.ndarray:
+    """Exact greedy NMS keep-mask given a score-sorted IoU matrix.
+
+    iou: (N, N) pairwise IoU of boxes sorted by DESCENDING score.
+    valid: (N,) bool; invalid boxes are never kept and never suppress.
+    Returns keep: (N,) bool with identical semantics to sequential greedy NMS.
+    """
+    n = iou.shape[0]
+    idx = jnp.arange(n)
+
+    def body(k, alive):
+        row = iou[k]
+        # If box k is still alive (and valid), suppress later boxes overlapping it.
+        suppress = (row > iou_threshold) & (idx > k) & alive[k]
+        return alive & ~suppress
+
+    alive0 = valid
+    alive = jax.lax.fori_loop(0, n, body, alive0)
+    return alive
+
+
+def batched_nms_padded(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    classes: jnp.ndarray,
+    iou_threshold: float,
+    max_outputs: int,
+):
+    """Class-aware NMS on fixed-size inputs.
+
+    boxes: (N, 4) xyxy; scores: (N,) with NEG_INF for padding; classes: (N,) int.
+    Returns (order, keep_sorted):
+      order: (N,) indices into the input, score-descending,
+      keep_sorted: (N,) bool keep mask in that order; at most `max_outputs`
+      True entries (top-scored kept boxes), mirroring the post-NMS top-k of
+      tridet/modeling/dd3d/fcos2d.py:356-366.
+    """
+    n = boxes.shape[0]
+    order = jnp.argsort(-scores)
+    boxes_s = boxes[order]
+    scores_s = scores[order]
+    classes_s = classes[order]
+    valid = scores_s > NEG_INF / 2
+
+    # Class-offset trick: shift each class to a disjoint coordinate region so
+    # cross-class IoU is exactly 0 (same effect as per-class NMS).
+    span = jnp.max(jnp.where(valid[:, None], boxes_s, 0.0)) + 1.0
+    offset = classes_s.astype(boxes_s.dtype)[:, None] * span
+    shifted = boxes_s + offset
+
+    iou = pairwise_iou_xyxy(shifted, shifted)
+    keep = greedy_suppress(iou, valid, iou_threshold)
+
+    if max_outputs is not None and max_outputs > 0:
+        # Keep only the top `max_outputs` kept boxes (they are score-sorted, so
+        # this is a prefix count over the keep mask).
+        kept_rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
+        keep = keep & (kept_rank < max_outputs)
+    return order, keep
+
+
+def topk_by_score(scores: jnp.ndarray, k: int):
+    """Top-k indices by score over a fixed-size candidate set (desc order)."""
+    vals, idx = jax.lax.top_k(scores, k)
+    return vals, idx
