@@ -1,0 +1,70 @@
+"""Benchmark: DD3D-DLA34 KITTI inference throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline derivation (BASELINE.md): the reference publishes no images/sec; its
+implied TRAIN throughput is ~12 imgs/s per A100 (25k iters x 64 imgs / 4.5 h
+on 8 GPUs). The repo's north star is >= 5x A100 images/sec/chip for
+inference; with no published A100 inference figure we use 5 x 12 = 60 imgs/s
+as the provisional bar, so vs_baseline = (our imgs/s/chip) / 60.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dd3d_tpu.configs import get_experiment_cfg
+    from dd3d_tpu.models import build_model
+    from dd3d_tpu.models.dd3d import dd3d_inference
+
+    cfg = get_experiment_cfg("dd3d_kitti_dla34")
+    model = build_model(cfg)
+
+    # KITTI eval resolution: min side 384 -> (384, 1242) padded to /128.
+    b, h, w = 16, 384, 1280
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+    intrinsics = jnp.asarray(
+        np.tile(np.array([[721.5, 0, 609.5], [0, 721.5, 172.8], [0, 0, 1]], np.float32), (b, 1, 1))
+    )
+    variables = model.init(jax.random.PRNGKey(0), images[:1], train=False)
+
+    @jax.jit
+    def infer(variables, images, intrinsics):
+        outputs = model.apply(variables, images, train=False)
+        return dd3d_inference(cfg, outputs, intrinsics)
+
+    # Warmup / compile. NOTE: on the axon tunnel platform block_until_ready
+    # returns before execution completes; a host fetch is the only reliable
+    # barrier, so we time the loop and fetch the last output (the device
+    # stream executes calls in order, so the final fetch bounds all of them).
+    out = infer(variables, images, intrinsics)
+    float(np.asarray(out["scores"]).sum())
+
+    iters = 20
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = infer(variables, images, intrinsics)
+    float(np.asarray(out["scores"]).sum())
+    dt = time.perf_counter() - t0
+
+    imgs_per_sec = b * iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "dd3d_dla34_kitti_inference_imgs_per_sec_per_chip",
+                "value": round(imgs_per_sec, 2),
+                "unit": "imgs/s",
+                "vs_baseline": round(imgs_per_sec / 60.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -47,7 +47,11 @@ def matrix_to_quaternion(m: jnp.ndarray) -> jnp.ndarray:
         ],
         axis=-1,
     )
-    q_abs = jnp.sqrt(jnp.maximum(q_abs_sq, 0.0))
+    # max(x, eps) (not 0) keeps d/dx sqrt finite at degenerate candidates:
+    # unselected candidates receive zero cotangents, and 0 * inf = NaN would
+    # otherwise poison gradients (e.g. identity rotation has three exact-zero
+    # candidates).
+    q_abs = jnp.sqrt(jnp.maximum(q_abs_sq, 1e-12))
 
     # Candidate quaternions (unnormalized), rows: by-w, by-x, by-y, by-z.
     cand = jnp.stack(

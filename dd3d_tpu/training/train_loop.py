@@ -1,0 +1,112 @@
+"""The outer training loop: mesh setup, jitted step, metrics, checkpoints.
+
+Rebuild of `do_train` (scripts/train.py:81-194) minus the parts that moved
+into the compiled step (AMP, accumulation, loss all-reduce). The loop itself
+only: feeds sharded batches, logs scalar metrics every `log_period`, saves
+checkpoints every `SOLVER.CHECKPOINT_PERIOD`, and invokes an optional eval
+hook every `TEST.EVAL_PERIOD` — mirroring the reference's periodic writers /
+checkpointer / test hooks (scripts/train.py:159-194).
+"""
+import logging
+import time
+from typing import Callable, Iterable, Optional
+
+import jax
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dd3d_tpu.models import build_model
+from dd3d_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+from dd3d_tpu.training.checkpoint import CheckpointManager
+from dd3d_tpu.training.optim import build_optimizer
+from dd3d_tpu.training.train_step import TrainState, make_train_step
+
+LOG = logging.getLogger(__name__)
+
+
+def create_train_state(cfg, model, sample_batch, rng=None) -> TrainState:
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+    variables = model.init(rng, sample_batch["image"][:1], train=False)
+    tx = build_optimizer(cfg, variables["params"])
+    return TrainState.create(variables["params"], variables.get("batch_stats", {}), tx)
+
+
+def train(
+    cfg,
+    data_iter: Iterable,
+    model=None,
+    state: Optional[TrainState] = None,
+    mesh=None,
+    max_iter: Optional[int] = None,
+    log_period: int = 20,
+    output_dir: Optional[str] = None,
+    eval_hook: Optional[Callable] = None,
+    metric_hook: Optional[Callable] = None,
+):
+    """Run the training loop; returns the final TrainState."""
+    model = model or build_model(cfg)
+    mesh = mesh or make_mesh()
+    max_iter = max_iter or cfg.SOLVER.MAX_ITER
+
+    data_iter = iter(data_iter)
+    first = next(data_iter)
+    if state is None:
+        state = create_train_state(cfg, model, first)
+
+    ckpt = CheckpointManager(f"{output_dir}/ckpt", max_to_keep=5) if output_dir else None
+    if ckpt is not None and ckpt.latest_step() is not None:
+        state = ckpt.restore(state)
+        LOG.info("Resumed from checkpoint step %d", int(state.step))
+
+    repl = replicated(mesh)
+    bsh = batch_sharding(mesh)
+    state = jax.device_put(state, repl)
+
+    step_fn = jax.jit(
+        make_train_step(cfg, model),
+        donate_argnums=(0,),
+        in_shardings=(repl, bsh),
+        out_shardings=(repl, repl),
+    )
+
+    start_step = int(state.step)
+    t0 = time.time()
+    window_imgs = 0
+    batch = first
+    for it in range(start_step, max_iter):
+        batch = jax.device_put(batch, bsh)
+        state, metrics = step_fn(state, batch)
+        window_imgs += int(batch["image"].shape[0])
+        try:
+            batch = next(data_iter)
+        except StopIteration:
+            data_iter = None
+
+        if (it + 1) % log_period == 0 or it + 1 == max_iter:
+            m = {k: float(v) for k, v in jax.device_get(metrics).items()}
+            dt = time.time() - t0
+            ips = window_imgs / max(dt, 1e-9)
+            LOG.info(
+                "iter %d/%d total=%.4f imgs/s=%.1f %s",
+                it + 1, max_iter, m["total_loss"], ips,
+                " ".join(f"{k}={v:.4f}" for k, v in sorted(m.items()) if k.startswith("loss")),
+            )
+            if metric_hook is not None:
+                metric_hook(it + 1, {**m, "imgs_per_sec": ips})
+            if not np.isfinite(m["total_loss"]):
+                raise FloatingPointError(f"Loss diverged at iter {it + 1}: {m}")
+            t0 = time.time()
+            window_imgs = 0
+
+        if ckpt is not None and (it + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
+            ckpt.save(it + 1, jax.device_get(state))
+
+        if eval_hook is not None and (it + 1) % cfg.TEST.EVAL_PERIOD == 0:
+            eval_hook(it + 1, state)
+
+        if data_iter is None:
+            break
+
+    if ckpt is not None:
+        ckpt.save(int(state.step), jax.device_get(state))
+    return state
