@@ -1,0 +1,172 @@
+"""Dataloader builders: threaded map + prefetch, static-shape batches.
+
+Rebuild of `tridet/data/build.py` (build_train_dataloader /
+build_test_dataloader) without torch DataLoader / MPI:
+- dataset dicts come from the DatasetCatalog (materialized once, in-process;
+  the reference parallelizes this with a trivial-DDP + MPI allgather,
+  build.py:163-219 — single-host here, multi-host via
+  jax.experimental.multihost_utils when needed),
+- filter-empty + class histogram (build.py:44-48),
+- sampler selection (TrainingSampler / RepeatFactorTrainingSampler),
+- a thread pool maps samples (cv2 releases the GIL for imread/resize),
+- TPU twist: ONE resize scale is sampled PER BATCH (not per image) so every
+  batch has a single static shape; with bucketed padding this keeps the
+  number of distinct compiled programs equal to the number of resize buckets.
+"""
+import logging
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, Optional
+
+import numpy as np
+
+from dd3d_tpu.data.augmentations import build_augmentation
+from dd3d_tpu.data.catalog import DatasetCatalog, MetadataCatalog
+from dd3d_tpu.data.mapper import DatasetMapper, collate_batch
+from dd3d_tpu.data.samplers import (
+    InferenceGroupSampler,
+    InferenceSampler,
+    RepeatFactorTrainingSampler,
+    TrainingSampler,
+)
+
+LOG = logging.getLogger(__name__)
+
+
+def print_instances_class_histogram(dataset_dicts, class_names):
+    counts = np.zeros(len(class_names), dtype=np.int64)
+    for d in dataset_dicts:
+        for a in d.get("annotations", []):
+            if 0 <= a["category_id"] < len(class_names):
+                counts[a["category_id"]] += 1
+    LOG.info("Class histogram: %s", {n: int(c) for n, c in zip(class_names, counts)})
+    return counts
+
+
+class TrainDataLoader:
+    """Infinite iterator of (batch, meta) with static shapes."""
+
+    def __init__(self, cfg, dataset_name: Optional[str] = None, batch_size: Optional[int] = None,
+                 num_workers: Optional[int] = None, seed: int = 0, size_divisibility: int = 128):
+        dataset_name = dataset_name or cfg.DATASETS.TRAIN.NAME
+        dicts = DatasetCatalog.get(dataset_name)
+        dicts = [d for d in dicts if len(d.get("annotations", []))]  # filter empty
+        md = MetadataCatalog.get(dataset_name)
+        print_instances_class_histogram(dicts, md.get("thing_classes", []))
+        self.dataset_dicts = dicts
+
+        sampler_name = cfg.DATALOADER.TRAIN.SAMPLER
+        if sampler_name == "RepeatFactorTrainingSampler":
+            self.sampler = RepeatFactorTrainingSampler(dicts, cfg.DATALOADER.TRAIN.REPEAT_THRESHOLD, seed=seed)
+        else:
+            self.sampler = TrainingSampler(len(dicts), seed=seed)
+
+        self.mapper = DatasetMapper(
+            build_augmentation(cfg, is_train=True),
+            is_train=True,
+            box3d_on=cfg.MODEL.BOX3D_ON,
+            nuscenes=cfg.MODEL.META_ARCHITECTURE == "NuscenesDD3D",
+        )
+        self.batch_size = batch_size or cfg.SOLVER.IMS_PER_BATCH
+        self.max_gt = cfg.TPU.MAX_GT_PER_IMAGE
+        self.size_divisibility = size_divisibility
+        self.num_workers = num_workers if num_workers is not None else cfg.DATALOADER.TRAIN.NUM_WORKERS
+        self.seed = seed
+        self.min_sizes = list(cfg.INPUT.RESIZE.MIN_SIZE_TRAIN) if cfg.INPUT.AUG_ENABLED else []
+        self.cfg = cfg
+
+    def __iter__(self) -> Iterator[tuple]:
+        rng = np.random.RandomState(self.seed + 1)
+        idx_iter = iter(self.sampler)
+        pool = ThreadPoolExecutor(max_workers=max(1, self.num_workers))
+        prefetch: "queue.Queue" = queue.Queue(maxsize=4)
+        stop = threading.Event()
+
+        def make_batch():
+            indices = [next(idx_iter) for _ in range(self.batch_size)]
+            # one resize scale per batch -> one static shape per batch
+            batch_rng = np.random.RandomState(rng.randint(2 ** 31))
+            if self.min_sizes:
+                fixed_size = int(batch_rng.choice(self.min_sizes))
+                mapper_cfg = self.cfg.clone()
+                mapper_cfg.INPUT.RESIZE.MIN_SIZE_TRAIN = [fixed_size]
+                mapper = DatasetMapper(
+                    build_augmentation(mapper_cfg, is_train=True),
+                    is_train=True,
+                    box3d_on=self.cfg.MODEL.BOX3D_ON,
+                    nuscenes=self.cfg.MODEL.META_ARCHITECTURE == "NuscenesDD3D",
+                )
+            else:
+                mapper = self.mapper
+            seeds = [int(batch_rng.randint(2 ** 31)) for _ in indices]
+            samples = list(
+                pool.map(
+                    lambda args: mapper(self.dataset_dicts[args[0]], np.random.RandomState(args[1])),
+                    zip(indices, seeds),
+                )
+            )
+            return collate_batch(samples, self.max_gt, self.size_divisibility)
+
+        def producer():
+            try:
+                while not stop.is_set():
+                    prefetch.put(make_batch())
+            except Exception as e:  # surface errors to the consumer
+                prefetch.put(e)
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                item = prefetch.get()
+                if isinstance(item, Exception):
+                    raise item
+                yield item
+        finally:
+            stop.set()
+
+
+class TestDataLoader:
+    """Finite iterator over the test set in deterministic order."""
+
+    def __init__(self, cfg, dataset_name: Optional[str] = None, batch_size: Optional[int] = None,
+                 group_size: int = 1, shard_idx: int = 0, num_shards: int = 1, size_divisibility: int = 128):
+        dataset_name = dataset_name or cfg.DATASETS.TEST.NAME
+        self.dataset_dicts = DatasetCatalog.get(dataset_name)
+        self.mapper = DatasetMapper(
+            build_augmentation(cfg, is_train=False),
+            is_train=False,
+            box3d_on=cfg.MODEL.BOX3D_ON,
+            nuscenes=cfg.MODEL.META_ARCHITECTURE == "NuscenesDD3D",
+        )
+        if group_size > 1:
+            self.sampler = InferenceGroupSampler(len(self.dataset_dicts), group_size, shard_idx, num_shards)
+        else:
+            self.sampler = InferenceSampler(len(self.dataset_dicts), shard_idx, num_shards)
+        self.batch_size = batch_size or cfg.TEST.IMS_PER_BATCH
+        self.max_gt = cfg.TPU.MAX_GT_PER_IMAGE
+        self.size_divisibility = size_divisibility
+        self.num_workers = cfg.DATALOADER.TEST.NUM_WORKERS
+
+    def __len__(self):
+        import math
+
+        return math.ceil(len(self.sampler) / self.batch_size)
+
+    def __iter__(self):
+        indices = list(self.sampler)
+        rng = np.random.RandomState(0)
+        pool = ThreadPoolExecutor(max_workers=max(1, self.num_workers))
+        for i in range(0, len(indices), self.batch_size):
+            chunk = indices[i : i + self.batch_size]
+            samples = list(pool.map(lambda j: self.mapper(self.dataset_dicts[j], rng), chunk))
+            yield collate_batch(samples, self.max_gt, self.size_divisibility)
+
+
+def build_train_dataloader(cfg, **kw) -> TrainDataLoader:
+    return TrainDataLoader(cfg, **kw)
+
+
+def build_test_dataloader(cfg, **kw) -> TestDataLoader:
+    return TestDataLoader(cfg, **kw)

@@ -1,0 +1,154 @@
+import os
+
+import numpy as np
+import pytest
+
+from dd3d_tpu.configs import get_experiment_cfg
+from dd3d_tpu.data.datasets.kitti_3d import (
+    build_monocular_kitti3d_dataset,
+    decompose_projection_matrix,
+    parse_label_file,
+    read_calibration_file,
+)
+
+P2_LINE = (
+    "P2: 7.215377000000e+02 0.000000000000e+00 6.095593000000e+02 4.485728000000e+01 "
+    "0.000000000000e+00 7.215377000000e+02 1.728540000000e+02 2.163791000000e-01 "
+    "0.000000000000e+00 0.000000000000e+00 1.000000000000e+00 2.745884000000e-03"
+)
+
+CALIB_TEXT = "\n".join(
+    [
+        "P0: " + " ".join(["7.215377e+02", "0", "6.095593e+02", "0", "0", "7.215377e+02", "1.728540e+02", "0", "0", "0", "1", "0"]),
+        "P1: " + " ".join(["7.215377e+02", "0", "6.095593e+02", "-3.875744e+02", "0", "7.215377e+02", "1.728540e+02", "0", "0", "0", "1", "0"]),
+        P2_LINE,
+        "P3: " + " ".join(["7.215377e+02", "0", "6.095593e+02", "-3.395242e+02", "0", "7.215377e+02", "1.728540e+02", "2.199936e+00", "0", "0", "1", "2.729905e-03"]),
+        "R0_rect: 9.999239e-01 9.837760e-03 -7.445048e-03 -9.869795e-03 9.999421e-01 -4.278459e-03 7.402527e-03 4.351614e-03 9.999631e-01",
+        "Tr_velo_to_cam: 7.533745e-03 -9.999714e-01 -6.166020e-04 -4.069766e-03 1.480249e-02 7.280733e-04 -9.998902e-01 -7.631618e-02 9.998621e-01 7.523790e-03 1.480755e-02 -2.717806e-01",
+        "Tr_imu_to_velo: 9.999976e-01 7.553071e-04 -2.035826e-03 -8.086759e-01 -7.854027e-04 9.998898e-01 -1.482298e-02 3.195559e-01 2.024406e-03 1.482454e-02 9.998881e-01 -7.997231e-01",
+    ]
+)
+
+# One Car: truncated occluded alpha l t r b H W L x y z ry
+LABEL_TEXT = (
+    "Car 0.00 0 -1.58 587.01 173.33 614.12 200.12 1.65 1.67 3.64 -0.65 1.71 46.70 -1.59\n"
+    "DontCare -1 -1 -10 503.89 169.71 590.61 190.13 -1 -1 -1 -1000 -1000 -1000 -10\n"
+)
+
+
+@pytest.fixture
+def kitti_root(tmp_path):
+    root = tmp_path / "KITTI3D"
+    (root / "mv3d_kitti_splits").mkdir(parents=True)
+    (root / "training" / "calib").mkdir(parents=True)
+    (root / "training" / "label_2").mkdir(parents=True)
+    (root / "training" / "image_2").mkdir(parents=True)
+    for i in range(2):
+        sid = f"{i:06d}"
+        (root / "training" / "calib" / f"{sid}.txt").write_text(CALIB_TEXT)
+        (root / "training" / "label_2" / f"{sid}.txt").write_text(LABEL_TEXT)
+        import cv2
+
+        img = (np.random.RandomState(i).rand(375, 1242, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(root / "training" / "image_2" / f"{sid}.png"), img)
+    (root / "mv3d_kitti_splits" / "train.txt").write_text("000000\n000001\n")
+    return str(root)
+
+
+def test_decompose_projection():
+    vals = [float(v) for v in P2_LINE.split()[1:]]
+    p = np.asarray(vals).reshape(3, 4)
+    k, r, t = decompose_projection_matrix(p)
+    # K upper triangular with positive diagonal, K[2,2]=1
+    assert np.allclose(k, np.triu(k))
+    assert (np.diag(k) > 0).all()
+    np.testing.assert_allclose(k[2, 2], 1.0)
+    np.testing.assert_allclose(k[0, 0], 721.5377, atol=1e-3)
+    np.testing.assert_allclose(k[0, 2], 609.5593, atol=1e-3)
+    # recomposition: K [R|t] == P
+    rt = np.concatenate([r, t[:, None]], axis=1)
+    np.testing.assert_allclose(k @ rt, p, atol=1e-6)
+    # rectified camera: R ~ identity
+    np.testing.assert_allclose(r, np.eye(3), atol=1e-6)
+
+
+def test_calibration_file(kitti_root):
+    calib = read_calibration_file(os.path.join(kitti_root, "training", "calib", "000000.txt"))
+    k2, pose_20 = calib["camera_2"]
+    assert k2.shape == (3, 3)
+    np.testing.assert_allclose(k2[0, 0], 721.5377, atol=1e-3)
+    # camera_2 is ~6cm to the left of camera 0 -> |tvec| small but nonzero
+    assert 0.0 < np.linalg.norm(pose_20.inverse().tvec) < 1.0
+
+
+def test_label_parsing(kitti_root):
+    annos, raw = parse_label_file(
+        os.path.join(kitti_root, "training", "label_2", "000000.txt"), ("Car", "Pedestrian", "Cyclist", "Van", "Truck")
+    )
+    assert len(annos) == 1  # DontCare filtered
+    a = annos[0]
+    vec = np.asarray(a["bbox3d"])
+    # center lifted by h/2: y = 1.71 - 1.65/2
+    np.testing.assert_allclose(vec[4:7], [-0.65, 1.71 - 1.65 / 2, 46.70], atol=1e-6)
+    # size stored as (w, l, h)
+    np.testing.assert_allclose(vec[7:], [1.67, 3.64, 1.65], atol=1e-6)
+    # quaternion is unit and represents x(+90) * z(-ry)
+    np.testing.assert_allclose(np.linalg.norm(vec[:4]), 1.0, atol=1e-9)
+    from dd3d_tpu.structures.pose import _quat_to_matrix_np
+
+    r = _quat_to_matrix_np(vec[:4])
+    # The box "up" axis (object +z) must map to camera -y (up in cam frame).
+    np.testing.assert_allclose(r @ [0, 0, 1], [0, -1, 0], atol=1e-6)
+
+
+def test_dataset_and_mapper_roundtrip(kitti_root):
+    dicts = build_monocular_kitti3d_dataset("train", kitti_root)
+    assert len(dicts) == 2
+    d = dicts[0]
+    assert d["width"] == 1242 and d["height"] == 375
+    assert len(d["annotations"]) == 1
+
+    from dd3d_tpu.data.augmentations import HFlipTransform, ResizeTransform
+    from dd3d_tpu.data.mapper import DatasetMapper
+
+    # Deterministic resize + flip; verify proj_ctr consistency:
+    # project(tvec') through K' must equal the stored proj_ctr target.
+    mapper = DatasetMapper([], is_train=True)
+    tfms = [ResizeTransform(375, 1242, 384, 1272), HFlipTransform(1272)]
+    out = mapper(d, np.random.RandomState(0), fixed_transforms=tfms)
+    assert out["image"].shape == (384, 1272, 3)
+    assert len(out["gt_classes"]) == 1
+    k = out["intrinsics"]
+    g = out["gt_boxes3d"][0]
+    quat, proj_ctr, depth, size = g[:4], g[4:6], g[6], g[7:]
+    # depth unchanged by resize/flip
+    np.testing.assert_allclose(depth, 46.70, atol=1e-4)
+    # proj_ctr must sit inside the flipped 2D box neighborhood
+    box = out["gt_boxes2d"][0]
+    assert box[0] - 50 <= proj_ctr[0] <= box[2] + 50
+    # tvec.x got negated by flip: reconstruct via inv(K) @ (u,v,1) * z
+    ray = np.linalg.inv(k) @ np.array([proj_ctr[0], proj_ctr[1], 1.0])
+    tvec = ray * depth
+    np.testing.assert_allclose(tvec[0], 0.65 + 0, atol=0.2)  # flipped sign of -0.65
+
+
+def test_train_loader_batches(kitti_root):
+    cfg = get_experiment_cfg("dd3d_kitti_dla34")
+    cfg.DATASET_ROOT = os.path.dirname(kitti_root)
+    cfg.SOLVER.IMS_PER_BATCH = 2
+    cfg.DATALOADER.TRAIN.NUM_WORKERS = 2
+    cfg.INPUT.RESIZE.MIN_SIZE_TRAIN = [288]
+
+    from dd3d_tpu.data.catalog import register_datasets
+    from dd3d_tpu.data.build import build_train_dataloader
+
+    register_datasets(cfg)
+    loader = build_train_dataloader(cfg)
+    it = iter(loader)
+    batch, meta = next(it)
+    assert batch["image"].shape[0] == 2
+    h, w = batch["image"].shape[1:3]
+    assert h % 128 == 0 and w % 128 == 0
+    assert batch["gt_valid"].shape == (2, cfg.TPU.MAX_GT_PER_IMAGE)
+    assert batch["gt_valid"].any()
+    assert len(meta) == 2 and meta[0]["image_id"] is not None
