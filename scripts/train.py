@@ -1,0 +1,157 @@
+#!/usr/bin/env python
+"""Train/eval driver — rebuild of the reference `scripts/train.py`.
+
+Usage:
+    python scripts/train.py +experiments=dd3d_kitti_dla34 [KEY=VALUE ...]
+    python scripts/train.py --experiment dd3d_kitti_dla34 EVAL_ONLY=True
+
+Mirrors the reference flow (scripts/train.py:40-78): compose config
+(experiment delta + dotted-key CLI overrides), register datasets, build
+model, optionally restore a checkpoint, run the train loop (do_train,
+:81-194) with periodic eval, then final test (do_test, :197-274).
+The distributed runtime is jax.distributed + mesh sharding instead of
+mpirun/NCCL/DDP (SURVEY.md §5.8).
+"""
+import argparse
+import ast
+import logging
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+LOG = logging.getLogger("dd3d_tpu.train")
+
+
+def parse_overrides(pairs, cfg):
+    for pair in pairs:
+        if pair.startswith("+experiments="):
+            continue
+        if "=" not in pair:
+            raise ValueError(f"Override must be KEY=VALUE: {pair!r}")
+        key, val = pair.split("=", 1)
+        try:
+            val = ast.literal_eval(val)
+        except (ValueError, SyntaxError):
+            pass
+        node = cfg
+        parts = key.split(".")
+        for p in parts[:-1]:
+            node = node[p]
+        node[parts[-1]] = val
+    return cfg
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--experiment", default=None)
+    parser.add_argument("overrides", nargs="*", help="KEY=VALUE config overrides or +experiments=NAME")
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(levelname)s: %(message)s")
+
+    experiment = args.experiment
+    for o in args.overrides:
+        if o.startswith("+experiments="):
+            experiment = o.split("=", 1)[1]
+
+    from dd3d_tpu.configs import get_cfg, get_experiment_cfg
+
+    cfg = get_experiment_cfg(experiment) if experiment else get_cfg()
+    cfg = parse_overrides(args.overrides, cfg)
+
+    import jax
+
+    from dd3d_tpu.data import register_datasets
+    from dd3d_tpu.models import build_model
+
+    LOG.info("Devices: %s", jax.devices())
+    register_datasets(cfg)
+
+    output_dir = os.path.join(cfg.OUTPUT_ROOT, experiment or "default", time.strftime("%Y%m%d_%H%M%S"))
+    os.makedirs(output_dir, exist_ok=True)
+    LOG.info("Output dir: %s", output_dir)
+
+    model = build_model(cfg)
+
+    if cfg.EVAL_ONLY:
+        do_test(cfg, model, output_dir, ckpt_path=cfg.MODEL.CKPT or None)
+        return
+
+    do_train(cfg, model, output_dir)
+    do_test(cfg, model, output_dir, ckpt_path=os.path.join(output_dir, "ckpt"))
+
+
+def do_train(cfg, model, output_dir):
+    from dd3d_tpu.data.build import build_train_dataloader
+    from dd3d_tpu.training.train_loop import train
+
+    loader = build_train_dataloader(cfg)
+
+    def data_iter():
+        for batch, _meta in loader:
+            yield batch
+
+    def eval_hook(step, state):
+        LOG.info("Periodic eval at step %d", step)
+        try:
+            do_test(cfg, model, output_dir, state=state)
+        except Exception:
+            LOG.exception("Periodic eval failed")
+
+    state = train(
+        cfg,
+        data_iter(),
+        model=model,
+        output_dir=output_dir,
+        eval_hook=eval_hook if cfg.TEST.EVAL_PERIOD > 0 else None,
+    )
+    return state
+
+
+def do_test(cfg, model, output_dir, state=None, ckpt_path=None):
+    import jax
+
+    from dd3d_tpu.data.build import build_test_dataloader
+    from dd3d_tpu.evaluators import get_evaluator
+    from dd3d_tpu.models.postprocess import inference_on_dataset
+
+    if state is not None:
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+    else:
+        import numpy as np
+        import jax.numpy as jnp
+
+        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), train=False)
+        if ckpt_path and os.path.isdir(ckpt_path):
+            from dd3d_tpu.training.checkpoint import CheckpointManager
+            from dd3d_tpu.training.optim import build_optimizer
+            from dd3d_tpu.training.train_step import TrainState
+
+            tx = build_optimizer(cfg, variables["params"])
+            st = TrainState.create(variables["params"], variables.get("batch_stats", {}), tx)
+            st = CheckpointManager(ckpt_path).restore(st)
+            variables = {"params": st.params, "batch_stats": st.batch_stats}
+
+    dataset_name = cfg.DATASETS.TEST.NAME
+    group_size = 6 if cfg.MODEL.META_ARCHITECTURE == "NuscenesDD3D" else 1
+    loader = build_test_dataloader(cfg, dataset_name=dataset_name, group_size=group_size)
+    evaluators = get_evaluator(cfg, dataset_name, output_dir=output_dir)
+    results = inference_on_dataset(model, cfg, variables, loader, evaluators)
+
+    flat = {}
+    def _flatten(d, prefix=""):
+        for k, v in d.items():
+            if isinstance(v, dict):
+                _flatten(v, f"{prefix}{k}/")
+            else:
+                flat[f"{prefix}{k}"] = v
+    _flatten(results)
+    for k in sorted(flat):
+        LOG.info("%s = %.4f", k, flat[k])
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -16,6 +16,11 @@ import jax  # noqa: E402
 # config level too, since the plugin prepends itself to the platform list.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the train-step compile on CPU takes minutes;
+# cache it across test runs.
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
