@@ -149,7 +149,9 @@ def feature_shapes_for(image_hw: Tuple[int, int], strides: Sequence[int]) -> Lis
     return [(h // s, w // s) for s in strides]
 
 
-def dd3d_losses(cfg, outputs: Dict[str, List[jnp.ndarray]], batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+def dd3d_losses(
+    cfg, outputs: Dict[str, List[jnp.ndarray]], batch: Dict[str, jnp.ndarray], return_aux: bool = False
+):
     """Full DD3D training loss from raw per-level head outputs."""
     strides = _strides_from_outputs(cfg, outputs)
     shapes = [x.shape[1:3] for x in outputs["logits"]]
@@ -188,6 +190,8 @@ def dd3d_losses(cfg, outputs: Dict[str, List[jnp.ndarray]], batch: Dict[str, jnp
             targets, extra, inv_intrinsics, locations, canon, cfg.DD3D.FCOS3D,
         )
         losses.update(losses3d)
+    if return_aux:
+        return losses, targets, extra
     return losses
 
 
@@ -245,6 +249,14 @@ def dd3d_inference(
                     class_agnostic=cfg.DD3D.FCOS3D.CLASS_AGNOSTIC_BOX3D,
                 )
             )
+        if "attr_logits" in outputs:
+            # nuScenes attribute/speed branches (nuscenes_dd3d.py:268-296).
+            b_, h_, w_ = outputs["attr_logits"][l].shape[:3]
+            attr = outputs["attr_logits"][l].astype(jnp.float32).reshape(b_, h_ * w_, -1)
+            attr_k = jnp.take_along_axis(attr, cand["loc_idx"][..., None], axis=1)
+            cand["attribute"] = jnp.argmax(attr_k, axis=-1)
+            speed = outputs["speed"][l].astype(jnp.float32).reshape(b_, h_ * w_)
+            cand["speed"] = jnp.take_along_axis(speed, cand["loc_idx"], axis=1)
         cand["fpn_level"] = jnp.full_like(cand["cls"], l)
         cand.pop("loc_idx")
         cands.append(cand)
@@ -288,6 +300,9 @@ def dd3d_inference(
         "fpn_levels": take_sorted(merged["fpn_level"]),
         "valid": keep_d,
     }
+    if "attribute" in merged:
+        result["attributes"] = take_sorted(merged["attribute"])
+        result["speeds"] = take_sorted(merged["speed"])
     if box3d_on:
         result.update(
             {
@@ -299,4 +314,41 @@ def dd3d_inference(
                 "conf3d": take_sorted(merged["conf3d"]),
             }
         )
+        if cfg.DD3D.INFERENCE.DO_BEV_NMS:
+            result = _bev_nms_in_graph(cfg, result, intrinsics)
     return result
+
+
+def _bev_nms_in_graph(cfg, result: Dict[str, jnp.ndarray], intrinsics: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Per-image rotated BEV NMS over the final detections, in-graph.
+
+    Equivalent of the reference's per-image BEV NMS path (core.py:137-151 with
+    dummy single-image groups -> layers/bev_nms.py:99-133), replacing the
+    detectron2 `batched_nms_rotated` CUDA op with the jnp rotated kernel.
+    """
+    from dd3d_tpu.ops.geometry import unproject_points2d
+    from dd3d_tpu.ops.nms import NEG_INF as NEG
+    from dd3d_tpu.ops.rotated_boxes import boxes3d_corners_to_bev_boxes, rotated_nms_padded
+    from dd3d_tpu.structures.boxes3d import generic_corners
+
+    inv_k = jnp.linalg.inv(intrinsics.astype(jnp.float32))  # (B, 3, 3)
+    ray = unproject_points2d(result["boxes3d_proj_ctr"], inv_k)  # (B, D, 3)
+    tvec = ray * result["boxes3d_depth"]
+    corners = generic_corners(result["boxes3d_quat"], tvec, result["boxes3d_size"])
+    bev5 = boxes3d_corners_to_bev_boxes(corners)  # (B, D, 5)
+
+    scores = jnp.where(result["valid"], result["scores_3d"], NEG)
+
+    def per_image(b5, s, c):
+        order, keep_sorted = rotated_nms_padded(b5, s, c, cfg.DD3D.INFERENCE.BEV_NMS_IOU_THRESH)
+        # scatter keep back to original positions
+        keep = jnp.zeros_like(keep_sorted).at[order].set(keep_sorted)
+        return keep
+
+    keep = jax.vmap(per_image)(bev5, scores, result["classes"])
+    new_valid = result["valid"] & keep
+    out = dict(result)
+    out["valid"] = new_valid
+    out["scores"] = jnp.where(new_valid, result["scores"], 0.0)
+    out["scores_3d"] = jnp.where(new_valid, result["scores_3d"], 0.0)
+    return out

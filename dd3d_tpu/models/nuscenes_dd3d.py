@@ -50,43 +50,46 @@ def build_nuscenes_dd3d(cfg) -> NuscenesDD3D:
     return NuscenesDD3D(base=base, max_num_attributes=cfg.DD3D.NUSC.MAX_NUM_ATTRIBUTES)
 
 
-def nuscenes_extra_losses(
-    cfg,
-    outputs: Dict[str, List[jnp.ndarray]],
-    targets: Dict[str, jnp.ndarray],
-    extra2d: Dict[str, jnp.ndarray],
-) -> Dict[str, jnp.ndarray]:
-    """Attribute xent + speed smooth-L1, centerness-weighted with the shared
-    loss denominator. cf. nuscenes_dd3d.py:199-265.
+def nuscenes_dd3d_losses(cfg, outputs, batch):
+    """Full NuscenesDD3D loss: DD3D losses + attribute xent + speed smooth-L1.
 
-    targets must contain 'attributes' (B, P) int with `max_num_attributes - 1`
-    == ignore, and 'speeds' (B, P) float.
+    cf. NuscenesLoss (nuscenes_dd3d.py:199-265). Both extra losses are
+    centerness-weighted sums normalized by the (global) centerness mass of
+    the locations with VALID attribute/speed targets. (The reference's attr
+    branch calls F.cross_entropy with mean reduction before weighting — a
+    quirk whose rank-averaged effect is the weighted form implemented here.)
+
+    batch must additionally carry gt_attributes (B, G) with
+    MAX_NUM_ATTRIBUTES - 1 == "ignore" and gt_speeds (B, G).
     """
-    from dd3d_tpu.models.dd3d import flatten_levels
+    from dd3d_tpu.models.dd3d import dd3d_losses, flatten_levels
+
+    losses, targets, extra = dd3d_losses(cfg, outputs, batch, return_aux=True)
 
     attr_flat = flatten_levels(outputs["attr_logits"])  # (B, P, A)
     speed_flat = flatten_levels(outputs["speed"])[..., 0]  # (B, P)
-
-    pos = targets["pos_mask"].astype(jnp.float32)
-    weights = extra2d["centerness_targets"]
-    denom = extra2d["loss_denom"]
-
     num_attr = attr_flat.shape[-1]
-    attr_tgt = targets["attributes"]
-    attr_valid = (attr_tgt < num_attr - 1) & targets["pos_mask"]  # last id == ignore
+
+    pos_mask = targets["pos_mask"]
+    matched = jnp.maximum(targets["target_inds"], 0)
+    attr_tgt = jnp.take_along_axis(batch["gt_attributes"], matched, axis=1)
+    speed_tgt = jnp.take_along_axis(batch["gt_speeds"], matched, axis=1)
+
+    weights = extra["centerness_targets"]  # already pos-masked
+
+    # Attributes: ignore id == num_attr - 1 (nuscenes build: 3 per group + ignore).
+    attr_valid = (attr_tgt < num_attr - 1) & pos_mask
     attr_safe = jnp.where(attr_valid, attr_tgt, 0)
     logp = jax.nn.log_softmax(attr_flat, axis=-1)
     xent = -jnp.take_along_axis(logp, attr_safe[..., None], axis=-1)[..., 0]
     attr_w = weights * attr_valid.astype(jnp.float32)
-    loss_attr = jnp.sum(xent * attr_w) / jnp.maximum(jnp.sum(attr_w) / jnp.maximum(jnp.sum(weights * pos), 1e-6) * denom, 1e-6)
+    attr_denom = jnp.maximum(jnp.sum(attr_w), 1e-6)
+    losses["loss_attr"] = cfg.DD3D.NUSC.LOSS.WEIGHT_ATTR * jnp.sum(xent * attr_w) / attr_denom
 
-    speed_tgt = targets["speeds"]
-    speed_valid = jnp.isfinite(speed_tgt) & targets["pos_mask"]
+    # Speed: NaN GT speeds are invalid (nuscenes_dd3d.py:245-247).
+    speed_valid = jnp.isfinite(speed_tgt) & pos_mask
     sl1 = smooth_l1_loss(speed_flat, jnp.where(speed_valid, speed_tgt, 0.0), beta=0.05)
     speed_w = weights * speed_valid.astype(jnp.float32)
-    loss_speed = jnp.sum(sl1 * speed_w) / jnp.maximum(denom, 1e-6)
-
-    return {
-        "loss_attr": cfg.DD3D.NUSC.LOSS.WEIGHT_ATTR * loss_attr,
-        "loss_speed": cfg.DD3D.NUSC.LOSS.WEIGHT_SPEED * loss_speed,
-    }
+    speed_denom = jnp.maximum(jnp.sum(speed_w), 1e-6)
+    losses["loss_speed"] = cfg.DD3D.NUSC.LOSS.WEIGHT_SPEED * jnp.sum(sl1 * speed_w) / speed_denom
+    return losses

@@ -47,6 +47,9 @@ def unpack_detections(
             "boxes2d": boxes2d,
             "fpn_levels": det["fpn_levels"][i][sel],
         }
+        if "attributes" in det:
+            item["attributes"] = det["attributes"][i][sel]
+            item["speeds"] = det["speeds"][i][sel]
         if has_3d:
             quat = det["boxes3d_quat"][i][sel]
             proj_ctr = det["boxes3d_proj_ctr"][i][sel]
