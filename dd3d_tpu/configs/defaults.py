@@ -118,6 +118,7 @@ def get_cfg() -> CfgNode:
                         "CENTER_SAMPLE": True,
                         "POS_RADIUS": 1.5,
                     },
+                    "DEPTH_HEAD": {"LOSS_TYPE": "L1", "LOSS_WEIGHT": 1.0},
                 },
             },
             "INPUT": {

@@ -1,0 +1,176 @@
+"""Test-time augmentation wrappers.
+
+Rebuild of `tridet/modeling/dd3d/test_time_augmentation.py` (DD3DWithTTA) and
+`nuscenes_dd3d_tta.py`:
+- multi-scale (+hflip) variants with transformed intrinsics
+  (DatasetMapperTTA, :24-85),
+- batched inference per variant (one static shape per (scale, flip) bucket —
+  the TPU-friendly layout: each variant batch is its own compiled program),
+- inverse transform of 2D boxes and 3D boxes back to the original frame
+  (:190-239): 2D boxes rescale/unflip; 3D boxes are resolution-independent
+  and only need the flip mirrored (quat [w,x,y,z] -> [z,-y,-x,w], tvec.x
+  negated — the same involution as the training flip),
+- merge + class-aware NMS (+ optional BEV NMS) over the union (:152-183).
+"""
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from dd3d_tpu.data.augmentations import HFlipTransform, ResizeTransform
+from dd3d_tpu.models.cross_camera import boxes_to_bev5_np, greedy_rotated_nms_np, nuscenes_sample_aggregate
+
+
+def _flip_boxes3d_np(quat, tvec):
+    q = quat.copy()
+    out_q = np.stack([q[:, 3], -q[:, 2], -q[:, 1], q[:, 0]], axis=1)
+    out_t = tvec.copy()
+    out_t[:, 0] = -out_t[:, 0]
+    return out_q, out_t
+
+
+def _np_greedy_nms_classaware(boxes, scores, classes, thresh):
+    order = np.argsort(-scores)
+    keep = []
+    for i in order:
+        ok = True
+        for j in keep:
+            if classes[i] != classes[j]:
+                continue
+            x1 = max(boxes[i, 0], boxes[j, 0]); y1 = max(boxes[i, 1], boxes[j, 1])
+            x2 = min(boxes[i, 2], boxes[j, 2]); y2 = min(boxes[i, 3], boxes[j, 3])
+            inter = max(0, x2 - x1) * max(0, y2 - y1)
+            a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
+            b = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
+            if inter / max(a + b - inter, 1e-9) > thresh:
+                ok = False
+                break
+        if ok:
+            keep.append(i)
+    return np.asarray(keep, dtype=np.int64)
+
+
+class DD3DWithTTA:
+    """Multi-scale + flip TTA around a jitted single-variant inference fn.
+
+    cf. DD3DWithTTA, test_time_augmentation.py:88-239.
+    """
+
+    def __init__(self, cfg, model, variables, min_sizes: Optional[List[int]] = None,
+                 max_size: Optional[int] = None, flip: Optional[bool] = None,
+                 size_divisibility: int = 128):
+        import jax
+
+        from dd3d_tpu.models.dd3d import dd3d_inference
+
+        self.cfg = cfg
+        self.min_sizes = min_sizes if min_sizes is not None else list(cfg.TEST.AUG.MIN_SIZES)
+        self.max_size = max_size if max_size is not None else cfg.TEST.AUG.MAX_SIZE
+        self.flip = flip if flip is not None else cfg.TEST.AUG.FLIP
+        self.size_divisibility = size_divisibility
+        self.nms_thresh = cfg.DD3D.FCOS2D.INFERENCE.NMS_THRESH
+        self.post_nms_topk = cfg.DD3D.FCOS2D.INFERENCE.POST_NMS_TOPK
+        self.do_bev_nms = cfg.DD3D.INFERENCE.DO_BEV_NMS
+        self.bev_nms_iou_thresh = cfg.DD3D.INFERENCE.BEV_NMS_IOU_THRESH
+
+        # Per-variant NMS is disabled; we NMS over the merged union, like the
+        # reference (postprocess_in_inference=False, train.py:205-207).
+        import copy
+
+        variant_cfg = cfg.clone()
+        variant_cfg.DD3D.INFERENCE.DO_NMS = False
+        variant_cfg.DD3D.INFERENCE.DO_BEV_NMS = False
+
+        def infer(variables, images, intrinsics):
+            outputs = model.apply(variables, images, train=False)
+            return dd3d_inference(variant_cfg, outputs, intrinsics)
+
+        self._infer = jax.jit(infer)
+        self._variables = variables
+
+    def _variants(self, image: np.ndarray):
+        h, w = image.shape[:2]
+        for size in self.min_sizes:
+            scale = size / min(h, w)
+            nh, nw = (size, int(round(scale * w))) if h < w else (int(round(scale * h)), size)
+            if max(nh, nw) > self.max_size:
+                s2 = self.max_size / max(nh, nw)
+                nh, nw = int(nh * s2), int(nw * s2)
+            for flipped in ([False, True] if self.flip else [False]):
+                yield nh, nw, flipped
+
+    def __call__(self, image: np.ndarray, intrinsics: np.ndarray, orig_hw=None) -> Dict[str, np.ndarray]:
+        """Run TTA for ONE image; returns merged detection dict (original
+        resolution 2D boxes, camera-frame 3D boxes)."""
+        import jax
+
+        from dd3d_tpu.models.postprocess import unpack_detections
+
+        h, w = image.shape[:2]
+        merged = {k: [] for k in ("classes", "scores", "scores_3d", "boxes2d", "quat", "tvec", "size", "conf3d")}
+        for nh, nw, flipped in self._variants(image):
+            sample = {
+                "image": image.astype(np.float32),
+                "intrinsics": intrinsics.astype(np.float64),
+                "boxes2d": np.zeros((0, 4), np.float32),
+                "boxes3d": np.zeros((0, 10)),
+            }
+            tfms = [ResizeTransform(h, w, nh, nw)]
+            if flipped:
+                tfms.append(HFlipTransform(nw))
+            for t in tfms:
+                sample = t(sample)
+
+            ph = int(np.ceil(nh / self.size_divisibility) * self.size_divisibility)
+            pw = int(np.ceil(nw / self.size_divisibility) * self.size_divisibility)
+            canvas = np.zeros((1, ph, pw, 3), np.float32)
+            canvas[0, :nh, :nw] = sample["image"]
+            k_var = sample["intrinsics"].astype(np.float32)[None]
+
+            det = jax.device_get(self._infer(self._variables, canvas, k_var))
+            batch = {"intrinsics": k_var, "image_size": np.asarray([[nh, nw]])}
+            meta = [{"image_id": "tta", "width": w if not flipped else w, "height": h}]
+            # unpack resizes 2D boxes back to original resolution.
+            per_im = unpack_detections(det, batch, meta)[0]
+
+            boxes2d = per_im["boxes2d"]
+            quat, tvec = per_im["quat"], per_im["tvec"]
+            if flipped:
+                # unflip 2D boxes in the ORIGINAL resolution.
+                flipped_boxes = boxes2d.copy()
+                flipped_boxes[:, 0] = w - boxes2d[:, 2]
+                flipped_boxes[:, 2] = w - boxes2d[:, 0]
+                boxes2d = flipped_boxes
+                quat, tvec = _flip_boxes3d_np(quat, tvec)
+
+            merged["classes"].append(per_im["classes"])
+            merged["scores"].append(per_im["scores"])
+            merged["scores_3d"].append(per_im["scores_3d"])
+            merged["boxes2d"].append(boxes2d)
+            merged["quat"].append(quat)
+            merged["tvec"].append(tvec)
+            merged["size"].append(per_im["size"])
+            merged["conf3d"].append(per_im["conf3d"])
+
+        out = {k: np.concatenate(v) if len(v) else np.zeros((0,)) for k, v in merged.items()}
+
+        # Merged class-aware NMS + top-k (test_time_augmentation.py:163-181).
+        if self.nms_thresh > 0 and len(out["classes"]):
+            keep = _np_greedy_nms_classaware(out["boxes2d"], out["scores_3d"], out["classes"], self.nms_thresh)
+            keep = keep[: self.post_nms_topk]
+            out = {k: v[keep] for k, v in out.items()}
+
+        if self.do_bev_nms and len(out["classes"]):
+            bev = boxes_to_bev5_np(out["quat"], out["tvec"], out["size"])
+            keep = greedy_rotated_nms_np(bev, out["scores_3d"], out["classes"], self.bev_nms_iou_thresh)
+            out = {k: v[keep] for k, v in out.items()}
+        return out
+
+
+class NuscenesDD3DWithTTA(DD3DWithTTA):
+    """TTA + 6-camera sample aggregation (nuscenes_dd3d_tta.py:21-178)."""
+
+    def aggregate_sample(self, per_image_dets: List[dict], group_idxs, num_classes, global_poses):
+        return nuscenes_sample_aggregate(
+            per_image_dets, group_idxs, num_classes, global_poses,
+            iou_threshold=self.bev_nms_iou_thresh, max_num_dets_per_sample=500,
+        )

@@ -1,0 +1,68 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from dd3d_tpu.configs import get_experiment_cfg
+from dd3d_tpu.models import build_model
+from dd3d_tpu.models.dense_depth import dense_depth_losses
+from dd3d_tpu.ops.locations import aligned_bilinear
+
+
+def test_aligned_bilinear_shapes_and_identity():
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 4, 6, 2).astype(np.float32))
+    up = aligned_bilinear(x, 4)
+    assert up.shape == (1, 16, 24, 2)
+    # corner pixel preserved (align_corners=True with replicate pad)
+    np.testing.assert_allclose(np.asarray(up[0, 0, 0]), np.asarray(x[0, 0, 0]), atol=1e-6)
+    # constant input stays constant
+    c = jnp.ones((1, 3, 3, 1))
+    np.testing.assert_allclose(np.asarray(aligned_bilinear(c, 8)), 1.0, atol=1e-6)
+
+
+def test_dense_depth_model_and_loss():
+    cfg = get_experiment_cfg("dd3d_kitti_dla34")
+    cfg.MODEL.META_ARCHITECTURE = "DD3DDenseDepth"
+    model = build_model(cfg)
+
+    b, h, w = 1, 128, 128
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+    k = np.array([[400.0, 0, 64], [0, 400.0, 64], [0, 0, 1]], np.float32)
+    inv_k = jnp.asarray(np.linalg.inv(k)[None])
+
+    variables = model.init(jax.random.PRNGKey(0), images, inv_k, train=False)
+    depth_maps = model.apply(variables, images, inv_k, train=False)
+    assert len(depth_maps) == 5
+    for d in depth_maps:
+        assert d.shape == (b, h, w)
+
+    # sparse GT: a few valid pixels
+    gt = np.zeros((b, h, w), np.float32)
+    gt[0, 30:40, 50:60] = 15.0
+    losses = dense_depth_losses(depth_maps, jnp.asarray(gt))
+    assert len(losses) == 5
+    vals = [float(v) for v in losses.values()]
+    assert all(np.isfinite(vals))
+    # sqrt(2) decay ordering holds on average magnitudes (same loss scale)
+    assert f"loss_dense_depth_lvl_0" in losses
+
+
+@pytest.mark.slow
+def test_tta_wrapper():
+    from dd3d_tpu.models.tta import DD3DWithTTA
+
+    cfg = get_experiment_cfg("dd3d_kitti_dla34")
+    model = build_model(cfg)
+    images = jnp.zeros((1, 128, 128, 3))
+    variables = model.init(jax.random.PRNGKey(0), images, train=False)
+
+    tta = DD3DWithTTA(cfg, model, variables, min_sizes=[96, 128], flip=True)
+    img = (np.random.RandomState(0).rand(120, 160, 3) * 255).astype(np.float32)
+    k = np.array([[200.0, 0, 80], [0, 200.0, 60], [0, 0, 1]], np.float64)
+    out = tta(img, k)
+    assert set(out.keys()) >= {"classes", "scores", "scores_3d", "boxes2d", "quat", "tvec", "size"}
+    if len(out["classes"]):
+        # 2D boxes in original resolution bounds
+        assert out["boxes2d"][:, 0::2].max() <= 160 + 1e-3
+        assert out["boxes2d"][:, 1::2].max() <= 120 + 1e-3
