@@ -1,0 +1,27 @@
+# Convenience targets (the reference drives everything through
+# `make docker-run-mpi`; here the runtime is jax — no containers/MPI needed).
+
+PYTHON ?= python
+
+.PHONY: test test-fast bench train-kitti overfit vis clean-native
+
+test:
+	$(PYTHON) -m pytest tests/ -q
+
+test-fast:
+	$(PYTHON) -m pytest tests/ -q -m "not slow"
+
+bench:
+	$(PYTHON) bench.py
+
+train-kitti:
+	$(PYTHON) scripts/train.py +experiments=dd3d_kitti_dla34
+
+overfit:
+	$(PYTHON) scripts/train.py +experiments=dd3d_kitti_dla34_overfit
+
+vis:
+	$(PYTHON) scripts/visualize_dataloader.py --experiment dd3d_kitti_dla34
+
+clean-native:
+	rm -f dd3d_tpu/evaluators/native/*.so

@@ -86,10 +86,9 @@ def batched_nms_padded(
 
     iou = pairwise_iou_xyxy(shifted, shifted)
     keep = greedy_suppress(iou, valid, iou_threshold)
-
     if max_outputs is not None and max_outputs > 0:
-        # Keep only the top `max_outputs` kept boxes (they are score-sorted, so
-        # this is a prefix count over the keep mask).
+        # Keep only the top `max_outputs` kept boxes (score-sorted, so this is
+        # a prefix count over the keep mask).
         kept_rank = jnp.cumsum(keep.astype(jnp.int32)) - 1
         keep = keep & (kept_rank < max_outputs)
     return order, keep
