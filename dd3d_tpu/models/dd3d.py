@@ -236,6 +236,7 @@ def dd3d_inference(
             num_candidates=cfg.TPU.PRE_NMS_CANDIDATES_PER_LEVEL,
             pre_nms_thresh=inf2d.PRE_NMS_THRESH,
             thresh_with_ctr=inf2d.THRESH_WITH_CTR,
+            use_approx_topk=bool(cfg.TPU.get("USE_APPROX_TOPK", True)),
         )
         if box3d_on:
             canon = jnp.asarray(cfg.DD3D.FCOS3D.CANONICAL_BOX3D_SIZES, dtype=jnp.float32)

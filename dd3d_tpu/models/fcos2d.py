@@ -158,6 +158,7 @@ def decode_fcos2d_level(
     num_candidates: int,
     pre_nms_thresh: float,
     thresh_with_ctr: bool = True,
+    use_approx_topk: bool = True,
 ) -> Dict[str, jnp.ndarray]:
     """Fixed-size candidate selection for one FPN level.
 
@@ -181,7 +182,14 @@ def decode_fcos2d_level(
         combined = scores * ctr
 
     flat_scores = jnp.where(candidate_mask, combined, NEG_INF).reshape(b, h * w * c)
-    top_vals, top_idx = jax.lax.top_k(flat_scores, k)  # (B, K)
+    if use_approx_topk and k < h * w * c:
+        # TPU-native approximate top-k (partitioned max-reduce) — the exact
+        # lax.top_k lowers to a full sort on TPU and dominates decode time.
+        # recall_target 0.99 on candidates 10x over-provisioned vs the final
+        # det count makes ranking loss negligible.
+        top_vals, top_idx = jax.lax.approx_max_k(flat_scores, k, recall_target=0.99)
+    else:
+        top_vals, top_idx = jax.lax.top_k(flat_scores, k)  # (B, K)
     loc_idx = top_idx // c
     cls_idx = top_idx % c
     valid = top_vals > NEG_INF / 2

@@ -290,28 +290,40 @@ def decode_fcos3d_candidates(
     class_agnostic: bool = False,
 ) -> Dict[str, jnp.ndarray]:
     """Gather 3D outputs at the 2D candidates and decode to Boxes3D fields.
-    cf. tridet/modeling/dd3d/fcos3d.py:302-399 (without the python loops)."""
+    cf. tridet/modeling/dd3d/fcos3d.py:302-399 (without the python loops).
+
+    Perf note: all five branches are gathered with ONE contiguous row-gather
+    over the concatenated channel dim (in the compute dtype), then cast and
+    class-gathered on the small (B, K, ...) result. Per-branch gathers over
+    the full (B, H*W, comp, C) maps lowered to slow general gathers on TPU
+    (~25 ms/batch of the decode path); this form is near-free.
+    """
     b, h, w, _ = conf.shape
     nc = 1 if class_agnostic else num_classes
     k = cand["loc_idx"].shape[1]
 
-    def flat(x, comp):
-        return x.astype(jnp.float32).reshape(b, h * w, comp, nc)
+    comps = [(quat, 4), (ctr, 2), (depth, 1), (size, 3), (conf, 1)]
+    total = sum(c * nc for _, c in comps)
+    stacked = jnp.concatenate([x.reshape(b, h * w, c * nc) for x, c in comps], axis=-1)
+    rows = jnp.take_along_axis(
+        stacked, jnp.broadcast_to(cand["loc_idx"][..., None], (b, k, total)), axis=1
+    ).astype(jnp.float32)  # (B, K, total)
 
-    loc_idx = cand["loc_idx"][..., None, None]  # (B, K, 1, 1)
-
-    def take(x, comp):
-        g = jnp.take_along_axis(flat(x, comp), jnp.broadcast_to(loc_idx, (b, k, comp, nc)), axis=1)
+    parts = []
+    off = 0
+    for _, c in comps:
+        part = rows[..., off : off + c * nc].reshape(b, k, c, nc)
         if class_agnostic:
-            return g[..., 0]
-        cls_idx = jnp.broadcast_to(cand["cls"][..., None, None], (b, k, comp, 1))
-        return jnp.take_along_axis(g, cls_idx, axis=-1)[..., 0]
+            part = part[..., 0]
+        else:
+            cls_idx = jnp.broadcast_to(cand["cls"][..., None, None], (b, k, c, 1))
+            part = jnp.take_along_axis(part, cls_idx, axis=-1)[..., 0]
+        parts.append(part)
+        off += c * nc
 
-    quat_k = take(quat, 4)
-    ctr_k = take(ctr, 2)
-    depth_k = take(depth, 1)[..., 0]
-    size_k = take(size, 3)
-    conf_k = jax.nn.sigmoid(take(conf, 1)[..., 0])
+    quat_k, ctr_k, depth_k, size_k, conf_k = parts
+    depth_k = depth_k[..., 0]
+    conf_k = jax.nn.sigmoid(conf_k[..., 0])
 
     canon = canon_box_sizes[jnp.where(cand["valid"], cand["cls"], 0)]
     inv_k = jnp.broadcast_to(inv_intrinsics[:, None], (b, k, 3, 3))

@@ -69,6 +69,10 @@ def train(
         out_shardings=(repl, repl),
     )
 
+    from dd3d_tpu.utils.events import EventStorage
+
+    storage = EventStorage(output_dir) if output_dir else None
+
     start_step = int(state.step)
     t0 = time.time()
     window_imgs = 0
@@ -93,6 +97,9 @@ def train(
             )
             if metric_hook is not None:
                 metric_hook(it + 1, {**m, "imgs_per_sec": ips})
+            if storage is not None:
+                storage._step = it + 1
+                storage.put_scalars(**{**m, "imgs_per_sec": ips})
             if not np.isfinite(m["total_loss"]):
                 raise FloatingPointError(f"Loss diverged at iter {it + 1}: {m}")
             t0 = time.time()

@@ -52,6 +52,24 @@ class CfgNode(dict):
             k: (v.to_dict() if isinstance(v, CfgNode) else v) for k, v in self.items()
         }
 
+    @classmethod
+    def from_yaml(cls, path: str) -> "CfgNode":
+        import yaml
+
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f) or {})
+
+    def merge_from_file(self, path: str) -> "CfgNode":
+        """Merge a YAML experiment-delta file (the reference's
+        `@package _global_` experiment yamls) into a copy of self."""
+        return self.merge(CfgNode.from_yaml(path))
+
+    def dump_yaml(self, path: str) -> None:
+        import yaml
+
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+
 
 def _merge_into(base: CfgNode, delta: Mapping) -> None:
     for k, v in delta.items():
