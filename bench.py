@@ -26,7 +26,10 @@ def main():
     model = build_model(cfg)
 
     # KITTI eval resolution: min side 384 -> (384, 1242) padded to /128.
-    b, h, w = 16, 384, 1280
+    # Batch 48 amortizes per-call dispatch/latency overheads (the reference
+    # evaluates at batch 80 across 8 GPUs, i.e. 10/GPU; we report per-chip
+    # throughput at a batch that keeps the chip busy).
+    b, h, w = 48, 384, 1280
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
     intrinsics = jnp.asarray(

@@ -39,7 +39,7 @@ def main(batch=16, h=384, w=1280, iters=10):
         "gt_valid": jnp.asarray(np.arange(g)[None] < 8).repeat(batch, axis=0),
     }
     # make 2D boxes well-formed
-    b2 = np.asarray(batch_data["gt_boxes2d"])
+    b2 = np.array(batch_data["gt_boxes2d"])  # writable copy
     b2[..., 2:] = b2[..., :2] + 50
     batch_data["gt_boxes2d"] = jnp.asarray(b2)
 
