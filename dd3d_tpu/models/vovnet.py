@@ -16,6 +16,12 @@ from dd3d_tpu.models.layers import ConvNorm
 
 # name -> spec; cf. vovnet.py:19-97
 VOVNET_SPECS = {
+    "V-19-slim-dw-eSE": dict(stem=[64, 64, 64], stage_conv_ch=[64, 80, 96, 112],
+                             stage_out_ch=[112, 256, 384, 512], layer_per_block=3,
+                             block_per_stage=[1, 1, 1, 1], eSE=True, dw=True),
+    "V-19-dw-eSE": dict(stem=[64, 64, 64], stage_conv_ch=[128, 160, 192, 224],
+                        stage_out_ch=[256, 512, 768, 1024], layer_per_block=3,
+                        block_per_stage=[1, 1, 1, 1], eSE=True, dw=True),
     "V-19-slim-eSE": dict(stem=[64, 64, 128], stage_conv_ch=[64, 80, 96, 112],
                           stage_out_ch=[112, 256, 384, 512], layer_per_block=3,
                           block_per_stage=[1, 1, 1, 1], eSE=True, dw=False),
@@ -52,6 +58,22 @@ class ESEModule(nn.Module):
         return x * hsigmoid(gate)
 
 
+class DWConvBlock(nn.Module):
+    """Depthwise 3x3 + pointwise 1x1 (+norm+relu), cf. dw_conv3x3
+    (vovnet.py:100-121)."""
+
+    channels: int
+    norm: str = "BN"
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(self.channels, (3, 3), padding=1, feature_group_count=self.channels,
+                    use_bias=False, dtype=self.dtype, param_dtype=jnp.float32, name="dw")(x)
+        return ConvNorm(self.channels, 1, 1, norm=self.norm, activation=nn.relu,
+                        dtype=self.dtype, name="pw")(x, train)
+
+
 class OSAModule(nn.Module):
     """One-shot aggregation block. cf. vovnet.py:188-238."""
 
@@ -60,6 +82,7 @@ class OSAModule(nn.Module):
     layer_per_block: int
     use_ese: bool = True
     identity: bool = False
+    depthwise: bool = False
     norm: str = "BN"
     dtype: Any = jnp.bfloat16
 
@@ -67,10 +90,17 @@ class OSAModule(nn.Module):
     def __call__(self, x, train: bool = False):
         identity_feat = x
         outputs = [x]
+        if self.depthwise and x.shape[-1] != self.stage_ch:
+            # channel reduction before dw chain (vovnet.py:206-210)
+            x = ConvNorm(self.stage_ch, 1, 1, norm=self.norm, activation=nn.relu,
+                         dtype=self.dtype, name="conv_reduction")(x, train)
         for i in range(self.layer_per_block):
-            x = ConvNorm(self.stage_ch, 3, 1, norm=self.norm, activation=nn.relu, dtype=self.dtype, name=f"layer{i}")(
-                x, train
-            )
+            if self.depthwise:
+                x = DWConvBlock(self.stage_ch, norm=self.norm, dtype=self.dtype, name=f"layer{i}")(x, train)
+            else:
+                x = ConvNorm(self.stage_ch, 3, 1, norm=self.norm, activation=nn.relu, dtype=self.dtype, name=f"layer{i}")(
+                    x, train
+                )
             outputs.append(x)
         x = jnp.concatenate(outputs, axis=-1)
         xt = ConvNorm(self.concat_ch, 1, 1, norm=self.norm, activation=nn.relu, dtype=self.dtype, name="concat")(x, train)
@@ -85,14 +115,14 @@ class VoVNet(nn.Module):
     """VoVNet V2 trunk; emits `stage{2..5}` features (strides 4, 8, 16, 32).
     cf. vovnet.py:276-373."""
 
-    name: str
+    variant: str
     out_features: Sequence[str] = ("stage3", "stage4", "stage5")
     norm: str = "BN"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        spec = VOVNET_SPECS[self.name]
+        spec = VOVNET_SPECS[self.variant]
         stem_ch = spec["stem"]
         outputs = {}
 
@@ -119,6 +149,7 @@ class VoVNet(nn.Module):
                     spec["layer_per_block"],
                     use_ese=use_ese,
                     identity=(b > 0),
+                    depthwise=spec.get("dw", False),
                     norm=self.norm,
                     dtype=self.dtype,
                     name=f"OSA{stage_num}_{b + 1}",
@@ -135,7 +166,7 @@ def _vovnet_trunk(cfg, dtype):
     name = cfg.FE.BACKBONE.NAME
     spec = VOVNET_SPECS[name]
     trunk = VoVNet(
-        name=name,
+        variant=name,
         out_features=tuple(cfg.FE.BACKBONE.OUT_FEATURES),
         norm=cfg.FE.BACKBONE.NORM,
         dtype=dtype,
