@@ -289,7 +289,10 @@ def build_augmentation(cfg, is_train: bool) -> List[Augmentation]:
         augs.append(ResizeShortestEdge(min_size, max_size, sample_style))
     if cfg.INPUT.RANDOM_FLIP.ENABLED and is_train:
         augs.append(RandomFlip())
-    if cfg.INPUT.COLOR_JITTER.ENABLED and is_train:
+    if cfg.INPUT.COLOR_JITTER.ENABLED and is_train and not cfg.INPUT.COLOR_JITTER.get("ON_DEVICE", True):
+        # Host-side jitter (reference behavior). With ON_DEVICE (default) the
+        # mapper only samples blend weights and the compiled train step
+        # applies them (ops/color_jitter.py) — ~24 ms/image of host CPU saved.
         b_lo, b_hi = cfg.INPUT.COLOR_JITTER.BRIGHTNESS
         augs.append(RandomBrightness(1 - b_lo, 1 + b_hi))
         s_lo, s_hi = cfg.INPUT.COLOR_JITTER.SATURATION
@@ -297,3 +300,18 @@ def build_augmentation(cfg, is_train: bool) -> List[Augmentation]:
         c_lo, c_hi = cfg.INPUT.COLOR_JITTER.CONTRAST
         augs.append(RandomContrast(1 - c_lo, 1 + c_hi))
     return augs
+
+
+def sample_jitter_factors(cfg, rng) -> "np.ndarray":
+    """Blend weights for device-side jitter; weight 1 == identity."""
+    b_lo, b_hi = cfg.INPUT.COLOR_JITTER.BRIGHTNESS
+    s_lo, s_hi = cfg.INPUT.COLOR_JITTER.SATURATION
+    c_lo, c_hi = cfg.INPUT.COLOR_JITTER.CONTRAST
+    return np.asarray(
+        [
+            rng.uniform(1 - b_lo, 1 + b_hi),
+            rng.uniform(1 - s_lo, 1 + s_hi),
+            rng.uniform(1 - c_lo, 1 + c_hi),
+        ],
+        dtype=np.float32,
+    )

@@ -62,11 +62,14 @@ class TrainDataLoader:
         else:
             self.sampler = TrainingSampler(len(dicts), seed=seed)
 
+        jitter_cfg = cfg if (cfg.INPUT.AUG_ENABLED and cfg.INPUT.COLOR_JITTER.ENABLED
+                             and cfg.INPUT.COLOR_JITTER.get("ON_DEVICE", True)) else None
         self.mapper = DatasetMapper(
             build_augmentation(cfg, is_train=True),
             is_train=True,
             box3d_on=cfg.MODEL.BOX3D_ON,
             nuscenes=cfg.MODEL.META_ARCHITECTURE == "NuscenesDD3D",
+            device_jitter_cfg=jitter_cfg,
         )
         self.batch_size = batch_size or cfg.SOLVER.IMS_PER_BATCH
         self.max_gt = cfg.TPU.MAX_GT_PER_IMAGE
@@ -96,6 +99,7 @@ class TrainDataLoader:
                     is_train=True,
                     box3d_on=self.cfg.MODEL.BOX3D_ON,
                     nuscenes=self.cfg.MODEL.META_ARCHITECTURE == "NuscenesDD3D",
+                    device_jitter_cfg=self.mapper.device_jitter_cfg,
                 )
             else:
                 mapper = self.mapper

@@ -27,11 +27,15 @@ def read_image_bgr(path: str) -> np.ndarray:
 
 
 class DatasetMapper:
-    def __init__(self, augmentations: List[Augmentation], is_train: bool, box3d_on: bool = True, nuscenes: bool = False):
+    def __init__(self, augmentations: List[Augmentation], is_train: bool, box3d_on: bool = True,
+                 nuscenes: bool = False, device_jitter_cfg=None):
         self.augmentations = augmentations
         self.is_train = is_train
         self.box3d_on = box3d_on
         self.nuscenes = nuscenes
+        # When set, color jitter runs on-device: sample the blend weights here
+        # and let the compiled step apply them (ops/color_jitter.py).
+        self.device_jitter_cfg = device_jitter_cfg
 
     def __call__(self, dataset_dict: dict, rng: Optional[np.random.RandomState] = None,
                  fixed_transforms: Optional[list] = None) -> dict:
@@ -97,6 +101,10 @@ class DatasetMapper:
             "sample_id": dataset_dict.get("sample_id"),
             "image_size": np.asarray([h, w], dtype=np.int32),
         }
+        if self.device_jitter_cfg is not None and self.is_train:
+            from dd3d_tpu.data.augmentations import sample_jitter_factors
+
+            out["color_jitter"] = sample_jitter_factors(self.device_jitter_cfg, rng)
         if self.nuscenes:
             out["gt_attributes"] = attributes[keep]
             out["gt_speeds"] = speeds[keep]
@@ -133,6 +141,8 @@ def collate_batch(samples: List[dict], max_gt: int, size_divisibility: int = 128
     has_nusc = "gt_attributes" in samples[0]
     gt_attributes = np.zeros((b, max_gt), dtype=np.int32)
     gt_speeds = np.zeros((b, max_gt), dtype=np.float32)
+    has_jitter = "color_jitter" in samples[0]
+    color_jitter = np.ones((b, 3), dtype=np.float32)
 
     for i, s in enumerate(samples):
         h, w = s["image"].shape[:2]
@@ -153,6 +163,8 @@ def collate_batch(samples: List[dict], max_gt: int, size_divisibility: int = 128
         if has_nusc:
             gt_attributes[i, :n] = s["gt_attributes"][:n]
             gt_speeds[i, :n] = s["gt_speeds"][:n]
+        if has_jitter:
+            color_jitter[i] = s["color_jitter"]
 
     batch = {
         "image": images,
@@ -166,6 +178,8 @@ def collate_batch(samples: List[dict], max_gt: int, size_divisibility: int = 128
     if has_nusc:
         batch["gt_attributes"] = gt_attributes
         batch["gt_speeds"] = gt_speeds
+    if has_jitter:
+        batch["color_jitter"] = color_jitter
     meta = [
         {k: s.get(k) for k in ("image_id", "sample_id", "width", "height", "pose", "extrinsics")}
         for s in samples

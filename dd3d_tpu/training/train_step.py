@@ -44,10 +44,16 @@ def make_train_step(cfg, model, loss_fn=None):
     loss_fn = loss_fn or dd3d_losses
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        images = batch["image"]
+        if "color_jitter" in batch:
+            from dd3d_tpu.ops.color_jitter import apply_color_jitter
+
+            images = apply_color_jitter(images, batch["color_jitter"])
+
         def compute_loss(params):
             outputs, new_model_state = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                batch["image"],
+                images,
                 train=True,
                 mutable=["batch_stats"],
             )
