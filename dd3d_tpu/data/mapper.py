@@ -90,7 +90,10 @@ class DatasetMapper:
         gt_boxes3d = np.concatenate([quat, proj_ctr, depth, size], axis=1).astype(np.float32)
 
         out = {
-            "image": np.ascontiguousarray(sample["image"].astype(np.float32)),
+            # Keep the image in its native dtype (uint8 from cv2): the
+            # host->device transfer is 4x smaller and the model's
+            # normalization promotes to float on device.
+            "image": np.ascontiguousarray(sample["image"]),
             "intrinsics": k.astype(np.float32),
             "gt_boxes2d": boxes2d[keep].astype(np.float32),
             "gt_classes": classes[keep],
@@ -131,7 +134,7 @@ def collate_batch(samples: List[dict], max_gt: int, size_divisibility: int = 128
     ph, pw = pad_to_divisibility(max_h, max_w, size_divisibility)
 
     b = len(samples)
-    images = np.zeros((b, ph, pw, 3), dtype=np.float32)
+    images = np.zeros((b, ph, pw, 3), dtype=samples[0]["image"].dtype)
     intrinsics = np.zeros((b, 3, 3), dtype=np.float32)
     gt_boxes2d = np.zeros((b, max_gt, 4), dtype=np.float32)
     gt_classes = np.zeros((b, max_gt), dtype=np.int32)

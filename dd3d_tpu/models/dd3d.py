@@ -51,10 +51,10 @@ class DD3D(nn.Module):
     dtype: Any = jnp.bfloat16
 
     def preprocess_image(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Normalize raw BGR images (core.py:60-62)."""
+        """Normalize raw BGR images (core.py:60-62). Accepts uint8 or float."""
         mean = jnp.asarray(self.pixel_mean, dtype=jnp.float32)
         std = jnp.asarray(self.pixel_std, dtype=jnp.float32)
-        return ((x - mean) / std).astype(self.dtype)
+        return ((x.astype(jnp.float32) - mean) / std).astype(self.dtype)
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> Dict[str, List[jnp.ndarray]]:

@@ -18,6 +18,7 @@ _GRAY_BGR = jnp.asarray([0.114, 0.587, 0.299], dtype=jnp.float32)
 def apply_color_jitter(images: jnp.ndarray, factors: jnp.ndarray) -> jnp.ndarray:
     """images: (B, H, W, 3) float32 BGR in [0, 255];
     factors: (B, 3) = (brightness_w, saturation_w, contrast_w); weight 1 = identity."""
+    images = images.astype(jnp.float32)
     wb = factors[:, 0][:, None, None, None]
     ws = factors[:, 1][:, None, None, None]
     wc = factors[:, 2][:, None, None, None]

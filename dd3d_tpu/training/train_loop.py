@@ -24,6 +24,42 @@ from dd3d_tpu.training.train_step import TrainState, make_train_step
 LOG = logging.getLogger(__name__)
 
 
+def device_prefetch(data_iter, sharding, depth: int = 2):
+    """Move batches to device from a background thread, `depth` ahead.
+
+    jax.device_put can block synchronously on remote/tunneled platforms;
+    threading the puts overlaps host->device transfer with the running step.
+    """
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    stop = threading.Event()
+
+    def worker():
+        try:
+            for batch in data_iter:
+                if stop.is_set():
+                    return
+                q.put(jax.device_put(batch, sharding))
+        except Exception as e:
+            q.put(e)
+        finally:
+            q.put(None)
+
+    threading.Thread(target=worker, daemon=True).start()
+    try:
+        while True:
+            item = q.get()
+            if item is None:
+                return
+            if isinstance(item, Exception):
+                raise item
+            yield item
+    finally:
+        stop.set()
+
+
 def create_train_state(cfg, model, sample_batch, rng=None) -> TrainState:
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     variables = model.init(rng, sample_batch["image"][:1], train=False)
@@ -73,18 +109,20 @@ def train(
 
     storage = EventStorage(output_dir) if output_dir else None
 
+    import itertools
+
+    dev_iter = device_prefetch(itertools.chain([first], data_iter), bsh, depth=2)
+
     start_step = int(state.step)
     t0 = time.time()
     window_imgs = 0
-    batch = first
     for it in range(start_step, max_iter):
-        batch = jax.device_put(batch, bsh)
+        try:
+            batch = next(dev_iter)
+        except StopIteration:
+            break
         state, metrics = step_fn(state, batch)
         window_imgs += int(batch["image"].shape[0])
-        try:
-            batch = next(data_iter)
-        except StopIteration:
-            data_iter = None
 
         if (it + 1) % log_period == 0 or it + 1 == max_iter:
             m = {k: float(v) for k, v in jax.device_get(metrics).items()}
@@ -110,9 +148,6 @@ def train(
 
         if eval_hook is not None and (it + 1) % cfg.TEST.EVAL_PERIOD == 0:
             eval_hook(it + 1, state)
-
-        if data_iter is None:
-            break
 
     if ckpt is not None:
         ckpt.save(int(state.step), jax.device_get(state))

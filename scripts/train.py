@@ -124,7 +124,20 @@ def do_test(cfg, model, output_dir, state=None, ckpt_path=None):
         import jax.numpy as jnp
 
         variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), train=False)
-        if ckpt_path and os.path.isdir(ckpt_path):
+        if ckpt_path and (ckpt_path.endswith((".pth", ".pt")) or ckpt_path.startswith(("http", "s3://", "gs://"))):
+            # Reference PyTorch checkpoint: resolve remote path, convert.
+            from dd3d_tpu.utils.convert_checkpoint import convert_torch_state_dict
+            from dd3d_tpu.utils.s3 import maybe_download_ckpt
+
+            local = maybe_download_ckpt(ckpt_path)
+            import torch
+
+            sd = torch.load(local, map_location="cpu")
+            sd = sd.get("model", sd) if isinstance(sd, dict) else sd
+            sd = {k: v.numpy() for k, v in sd.items() if hasattr(v, "numpy")}
+            params, batch_stats = convert_torch_state_dict(sd, variables)
+            variables = {"params": params, "batch_stats": batch_stats}
+        elif ckpt_path and os.path.isdir(ckpt_path):
             from dd3d_tpu.training.checkpoint import CheckpointManager
             from dd3d_tpu.training.optim import build_optimizer
             from dd3d_tpu.training.train_step import TrainState
