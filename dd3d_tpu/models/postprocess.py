@@ -73,9 +73,13 @@ def unpack_detections(
     return out
 
 
-def inference_on_dataset(model, cfg, variables, dataloader, evaluators, jit=True):
+def inference_on_dataset(model, cfg, variables, dataloader, evaluators, jit=True,
+                         visualize_dir=None, max_vis=8):
     """Run the model over a test dataloader, feed evaluators, return results.
-    cf. d2's inference_on_dataset as used in scripts/train.py:231."""
+    cf. d2's inference_on_dataset as used in scripts/train.py:231. When
+    `visualize_dir` is set, the first `max_vis` images get prediction
+    visualizations (projected 3D wireframes + BEV), mirroring the
+    rank-0 prediction visualization of the reference (train.py:233-260)."""
     import jax
 
     from dd3d_tpu.models.dd3d import dd3d_inference
@@ -88,12 +92,31 @@ def inference_on_dataset(model, cfg, variables, dataloader, evaluators, jit=True
 
     for ev in evaluators:
         ev.reset()
+    n_vis = 0
     for batch, meta in dataloader:
         det = infer_fn(variables, batch["image"], batch["intrinsics"])
         det = jax.device_get(det)
         per_image = unpack_detections(det, batch, meta)
         for ev in evaluators:
             ev.process(per_image)
+        if visualize_dir is not None and n_vis < max_vis:
+            from dd3d_tpu.visualizers.draw import draw_boxes2d, draw_boxes3d, save_vis
+
+            images_np = np.asarray(batch["image"])
+            for i, d in enumerate(per_image):
+                if n_vis >= max_vis:
+                    break
+                h, w = np.asarray(batch["image_size"])[i]
+                img = images_np[i, :h, :w].astype(np.uint8)
+                sx = w / max(meta[i].get("width") or w, 1)
+                sy = h / max(meta[i].get("height") or h, 1)
+                keep = d["scores"] >= 0.3
+                vis = draw_boxes2d(img, d["boxes2d"][keep] * [sx, sy, sx, sy], d["classes"][keep], d["scores"][keep])
+                if "quat" in d:
+                    vis = draw_boxes3d(vis, d["quat"][keep], d["tvec"][keep], d["size"][keep],
+                                       np.asarray(batch["intrinsics"])[i], d["classes"][keep])
+                save_vis(vis, visualize_dir, f"pred_{d['image_id']}")
+                n_vis += 1
 
     results = {}
     for ev in evaluators:

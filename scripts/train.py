@@ -151,7 +151,8 @@ def do_test(cfg, model, output_dir, state=None, ckpt_path=None):
     group_size = 6 if cfg.MODEL.META_ARCHITECTURE == "NuscenesDD3D" else 1
     loader = build_test_dataloader(cfg, dataset_name=dataset_name, group_size=group_size)
     evaluators = get_evaluator(cfg, dataset_name, output_dir=output_dir)
-    results = inference_on_dataset(model, cfg, variables, loader, evaluators)
+    vis_dir = os.path.join(output_dir, "visualization") if output_dir else None
+    results = inference_on_dataset(model, cfg, variables, loader, evaluators, visualize_dir=vis_dir)
 
     flat = {}
     def _flatten(d, prefix=""):
