@@ -10,3 +10,20 @@ cited in docstrings as `tridet/<path>:<line>` for parity checking.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level convenience API (avoids importing jax at package import)."""
+    if name == "get_cfg":
+        from dd3d_tpu.configs import get_cfg
+
+        return get_cfg
+    if name == "get_experiment_cfg":
+        from dd3d_tpu.configs import get_experiment_cfg
+
+        return get_experiment_cfg
+    if name == "build_model":
+        from dd3d_tpu.models import build_model
+
+        return build_model
+    raise AttributeError(name)
