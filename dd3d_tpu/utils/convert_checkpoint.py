@@ -23,13 +23,27 @@ import numpy as np
 LOG = logging.getLogger(__name__)
 
 
+def _normalize_vovnet(k: str) -> str:
+    """Canonicalize VoVNet's OrderedDict slash-names (vovnet.py:100-161) into
+    dotted module paths matching our flax tree."""
+    k = re.sub(r"\.stage\d+\.(OSA)", r".\1", k)  # drop the _OSA_stage level
+    k = re.sub(r"\.stem\.stem_(\d)/", r".stem\1.", k)
+    k = re.sub(r"\.layers\.(\d+)\.[^./]+/dw_conv3x3\.", r".layer\1.dw.", k)
+    k = re.sub(r"\.layers\.(\d+)\.[^./]+/pw_conv1x1\.", r".layer\1.pw.conv.", k)
+    k = re.sub(r"\.layers\.(\d+)\.[^./]+/pw_norm\.", r".layer\1.pw.norm.", k)
+    k = re.sub(r"\.layers\.(\d+)\.[^./]+/(conv|norm)\.", r".layer\1.\2.", k)
+    k = re.sub(r"\.concat\.[^./]+/(conv|norm)\.", r".concat.\1.", k)
+    k = re.sub(r"\.conv_reduction\.[^./]+/(conv|norm)\.", r".conv_reduction.\1.", k)
+    return k
+
+
 def _translate_name(key: str):
     """Reference param name -> (our dotted module path, leaf kind).
 
     leaf kind: 'kernel' | 'bias' | 'bn_scale' | 'bn_bias' | 'bn_mean' |
     'bn_var' | 'scalar_scale' | 'scalar_bias' | None (skip).
     """
-    k = key
+    k = _normalize_vovnet(key)
     if k.endswith("num_batches_tracked") or k.startswith(("pixel_mean", "pixel_std")):
         return None, None
 
