@@ -56,11 +56,19 @@ class TrainDataLoader:
         print_instances_class_histogram(dicts, md.get("thing_classes", []))
         self.dataset_dicts = dicts
 
+        # Multi-host: each process draws an independent stream and supplies
+        # IMS_PER_BATCH / process_count samples per step (the reference's
+        # per-GPU batch split, tridet/data/build.py:123-128).
+        import jax
+
+        self.num_shards = jax.process_count()
+        shard_seed = seed + 104729 * jax.process_index()
+
         sampler_name = cfg.DATALOADER.TRAIN.SAMPLER
         if sampler_name == "RepeatFactorTrainingSampler":
-            self.sampler = RepeatFactorTrainingSampler(dicts, cfg.DATALOADER.TRAIN.REPEAT_THRESHOLD, seed=seed)
+            self.sampler = RepeatFactorTrainingSampler(dicts, cfg.DATALOADER.TRAIN.REPEAT_THRESHOLD, seed=shard_seed)
         else:
-            self.sampler = TrainingSampler(len(dicts), seed=seed)
+            self.sampler = TrainingSampler(len(dicts), seed=shard_seed)
 
         jitter_cfg = cfg if (cfg.INPUT.AUG_ENABLED and cfg.INPUT.COLOR_JITTER.ENABLED
                              and cfg.INPUT.COLOR_JITTER.get("ON_DEVICE", True)) else None
@@ -71,7 +79,10 @@ class TrainDataLoader:
             nuscenes=cfg.MODEL.META_ARCHITECTURE == "NuscenesDD3D",
             device_jitter_cfg=jitter_cfg,
         )
-        self.batch_size = batch_size or cfg.SOLVER.IMS_PER_BATCH
+        total_batch = batch_size or cfg.SOLVER.IMS_PER_BATCH
+        if total_batch % self.num_shards != 0:
+            raise ValueError(f"IMS_PER_BATCH={total_batch} not divisible by {self.num_shards} processes")
+        self.batch_size = total_batch // self.num_shards  # local (per-process) batch
         self.max_gt = cfg.TPU.MAX_GT_PER_IMAGE
         self.size_divisibility = size_divisibility
         self.num_workers = num_workers if num_workers is not None else cfg.DATALOADER.TRAIN.NUM_WORKERS
@@ -80,7 +91,14 @@ class TrainDataLoader:
         self.cfg = cfg
 
     def __iter__(self) -> Iterator[tuple]:
+        import jax
+
+        # Bucket (resize scale) choice must be IDENTICAL across processes —
+        # the global batch assembly requires one static shape per step — so
+        # it derives from the shared seed; per-sample augmentation seeds come
+        # from a per-process stream.
         rng = np.random.RandomState(self.seed + 1)
+        local_rng = np.random.RandomState(self.seed + 7919 * (jax.process_index() + 1))
         idx_iter = iter(self.sampler)
         pool = ThreadPoolExecutor(max_workers=max(1, self.num_workers))
         prefetch: "queue.Queue" = queue.Queue(maxsize=4)
@@ -103,7 +121,7 @@ class TrainDataLoader:
                 )
             else:
                 mapper = self.mapper
-            seeds = [int(batch_rng.randint(2 ** 31)) for _ in indices]
+            seeds = [int(local_rng.randint(2 ** 31)) for _ in indices]
             samples = list(
                 pool.map(
                     lambda args: mapper(self.dataset_dicts[args[0]], np.random.RandomState(args[1])),

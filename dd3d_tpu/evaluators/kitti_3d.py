@@ -420,9 +420,19 @@ class KITTI3DEvaluator:
                 self._groundtruth_kitti.append(gt_rows)
 
     def evaluate(self) -> Dict[str, float]:
+        # Multi-host: merge every process's accumulated predictions/GT (the
+        # reference's comm.gather to rank 0, kitti_3d_evaluator.py:152-161).
+        from dd3d_tpu.utils.comm import all_gather_objects, is_distributed
+
+        preds, gts = self._predictions_kitti, self._groundtruth_kitti
+        if is_distributed():
+            parts = all_gather_objects((preds, gts))
+            preds = [r for p, _ in parts for r in p]
+            gts = [r for _, g in parts for r in g]
+
         engine = KITTIEvaluationEngine(id_to_name=self._id_to_name)
-        gt_annos = [engine.format_annotation(i, rows, False) for i, rows in enumerate(self._groundtruth_kitti)]
-        dt_annos = [engine.format_annotation(i, rows, True) for i, rows in enumerate(self._predictions_kitti)]
+        gt_annos = [engine.format_annotation(i, rows, False) for i, rows in enumerate(gts)]
+        dt_annos = [engine.format_annotation(i, rows, True) for i, rows in enumerate(preds)]
         results = engine.evaluate(gt_annos, dt_annos, self._iou_thresholds)
 
         if self._output_dir:

@@ -105,6 +105,13 @@ class NuscenesEvaluator:
                 self._results[entry["sample_token"]].append(entry)
 
     def evaluate(self) -> Dict[str, Dict[str, float]]:
+        # Multi-host: merge per-sample results from all processes
+        # (gather_dict, nuscenes_evaluator.py:255-260).
+        from dd3d_tpu.utils.comm import gather_dict, is_distributed
+
+        if is_distributed():
+            self._results = defaultdict(list, gather_dict(dict(self._results)))
+
         os.makedirs(self._output_dir, exist_ok=True)
         submission = {
             "meta": {

@@ -29,19 +29,33 @@ def device_prefetch(data_iter, sharding, depth: int = 2):
 
     jax.device_put can block synchronously on remote/tunneled platforms;
     threading the puts overlaps host->device transfer with the running step.
+
+    Multi-host: each process feeds its LOCAL shard of the global batch; the
+    put assembles the global array across processes
+    (jax.make_array_from_process_local_data), replacing the reference's
+    per-rank DataLoader + DDP batch split (tridet/data/build.py:123-128).
     """
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     stop = threading.Event()
+    multi_host = jax.process_count() > 1
+
+    def put(batch):
+        if multi_host:
+            return {
+                k: jax.make_array_from_process_local_data(sharding, np.asarray(v))
+                for k, v in batch.items()
+            }
+        return jax.device_put(batch, sharding)
 
     def worker():
         try:
             for batch in data_iter:
                 if stop.is_set():
                     return
-                q.put(jax.device_put(batch, sharding))
+                q.put(put(batch))
         except Exception as e:
             q.put(e)
         finally:

@@ -65,8 +65,18 @@ def main():
 
     from dd3d_tpu.data import register_datasets
     from dd3d_tpu.models import build_model
+    from dd3d_tpu.utils.comm import init_distributed
 
-    LOG.info("Devices: %s", jax.devices())
+    # Multi-host: one env-driven call replaces mpirun + NCCL + MPI
+    # (SetupDistributedCallback, tridet/utils/hydra/callbacks.py:17-30).
+    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        init_distributed(
+            os.environ["JAX_COORDINATOR_ADDRESS"],
+            int(os.environ.get("JAX_NUM_PROCESSES", "1")),
+            int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
+
+    LOG.info("Devices: %s (process %d/%d)", jax.devices(), jax.process_index(), jax.process_count())
     register_datasets(cfg)
 
     output_dir = os.path.join(cfg.OUTPUT_ROOT, experiment or "default", time.strftime("%Y%m%d_%H%M%S"))
@@ -149,7 +159,10 @@ def do_test(cfg, model, output_dir, state=None, ckpt_path=None):
 
     dataset_name = cfg.DATASETS.TEST.NAME
     group_size = 6 if cfg.MODEL.META_ARCHITECTURE == "NuscenesDD3D" else 1
-    loader = build_test_dataloader(cfg, dataset_name=dataset_name, group_size=group_size)
+    loader = build_test_dataloader(
+        cfg, dataset_name=dataset_name, group_size=group_size,
+        shard_idx=jax.process_index(), num_shards=jax.process_count(),
+    )
     evaluators = get_evaluator(cfg, dataset_name, output_dir=output_dir)
     vis_dir = os.path.join(output_dir, "visualization") if output_dir else None
     results = inference_on_dataset(model, cfg, variables, loader, evaluators, visualize_dir=vis_dir)
