@@ -63,6 +63,11 @@ def main():
 
     import jax
 
+    # Honor an explicit JAX_PLATFORMS=cpu request: some TPU plugins prepend
+    # themselves to the platform list regardless of the env var.
+    if os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+
     from dd3d_tpu.data import register_datasets
     from dd3d_tpu.models import build_model
     from dd3d_tpu.utils.comm import init_distributed
