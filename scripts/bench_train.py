@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
-def main(batch=16, h=384, w=1280, iters=10):
+def main(batch=16, h=384, w=1280, iters=10, remat="none"):
     import jax
     import jax.numpy as jnp
 
@@ -24,6 +24,7 @@ def main(batch=16, h=384, w=1280, iters=10):
     from dd3d_tpu.training.train_step import make_train_step
 
     cfg = get_experiment_cfg("dd3d_kitti_dla34")
+    cfg.TPU.REMAT = remat
     model = build_model(cfg)
     rng = np.random.RandomState(0)
     g = 32
