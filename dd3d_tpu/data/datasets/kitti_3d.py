@@ -16,7 +16,6 @@ pyquaternion dependencies for the math:
 """
 import logging
 import os
-from functools import lru_cache
 from typing import List, Optional, Sequence
 
 import numpy as np

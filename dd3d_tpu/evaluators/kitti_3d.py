@@ -24,7 +24,6 @@ from dd3d_tpu.evaluators.native import (
     fused_compute_statistics,
     rotated_iou_matrix,
 )
-from dd3d_tpu.structures.pose import _quat_to_matrix_np
 
 LOG = logging.getLogger(__name__)
 

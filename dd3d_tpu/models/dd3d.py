@@ -22,7 +22,7 @@ from dd3d_tpu.models import register_meta_arch, build_feature_extractor
 from dd3d_tpu.models.fcos2d import FCOS2DHead, decode_fcos2d_level, fcos2d_loss
 from dd3d_tpu.models.fcos3d import FCOS3DHead, decode_fcos3d_candidates, fcos3d_loss
 from dd3d_tpu.models.prepare_targets import build_location_bases, prepare_targets
-from dd3d_tpu.ops.nms import NEG_INF, batched_nms_padded
+from dd3d_tpu.ops.nms import batched_nms_padded
 
 
 class DD3D(nn.Module):

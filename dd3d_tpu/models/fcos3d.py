@@ -22,7 +22,7 @@ from flax import linen as nn
 from dd3d_tpu.models.layers import Offset, PerLevelNorms, Scale, kaiming_normal_fan_out, kaiming_uniform_a1
 from dd3d_tpu.ops.geometry import allocentric_to_egocentric, unproject_points2d
 from dd3d_tpu.ops.losses import optax_sigmoid_bce, smooth_l1_loss
-from dd3d_tpu.structures.boxes3d import Boxes3D, generic_corners
+from dd3d_tpu.structures.boxes3d import Boxes3D
 
 EPS = 1e-7
 

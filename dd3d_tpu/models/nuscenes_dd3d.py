@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from dd3d_tpu.models import register_meta_arch, build_feature_extractor
+from dd3d_tpu.models import register_meta_arch
 from dd3d_tpu.models.dd3d import DD3D, build_dd3d
 from dd3d_tpu.models.layers import kaiming_uniform_a1
 from dd3d_tpu.ops.losses import smooth_l1_loss

@@ -19,7 +19,6 @@ can substitute predicted components directly.
 from typing import Dict, List, Sequence, Tuple
 
 import jax.numpy as jnp
-import numpy as np
 
 from dd3d_tpu.ops.locations import compute_feature_locations
 

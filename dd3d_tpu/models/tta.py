@@ -74,8 +74,6 @@ class DD3DWithTTA:
 
         # Per-variant NMS is disabled; we NMS over the merged union, like the
         # reference (postprocess_in_inference=False, train.py:205-207).
-        import copy
-
         variant_cfg = cfg.clone()
         variant_cfg.DD3D.INFERENCE.DO_NMS = False
         variant_cfg.DD3D.INFERENCE.DO_BEV_NMS = False

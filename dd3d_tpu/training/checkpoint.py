@@ -9,7 +9,6 @@ output dir is the durable artifact.)
 import os
 from typing import Any, Optional
 
-import jax
 import orbax.checkpoint as ocp
 from etils import epath
 

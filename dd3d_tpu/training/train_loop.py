@@ -13,8 +13,6 @@ from typing import Callable, Iterable, Optional
 
 import jax
 import numpy as np
-from jax.sharding import NamedSharding, PartitionSpec as P
-
 from dd3d_tpu.models import build_model
 from dd3d_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
 from dd3d_tpu.training.checkpoint import CheckpointManager
