@@ -92,8 +92,32 @@ def inference_on_dataset(model, cfg, variables, dataloader, evaluators, jit=True
 
     for ev in evaluators:
         ev.reset()
+
+    # Overlap host-side mapping/transfer with device inference.
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=2)
+
+    def producer():
+        try:
+            for item in dataloader:
+                q.put(item)
+        except Exception as e:
+            q.put(e)
+        finally:
+            q.put(None)
+
+    threading.Thread(target=producer, daemon=True).start()
+
     n_vis = 0
-    for batch, meta in dataloader:
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        if isinstance(item, Exception):
+            raise item
+        batch, meta = item
         det = infer_fn(variables, batch["image"], batch["intrinsics"])
         det = jax.device_get(det)
         per_image = unpack_detections(det, batch, meta)
