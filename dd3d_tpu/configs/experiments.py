@@ -34,7 +34,12 @@ DD3D_KITTI_DLA34 = {
         "MIXED_PRECISION_ENABLED": True,
         "CHECKPOINT_PERIOD": 2000,
     },
-    "TEST": {"IMS_PER_BATCH": 80, "EVAL_PERIOD": 2000},
+    "TEST": {
+        "IMS_PER_BATCH": 80,
+        "EVAL_PERIOD": 2000,
+        # final-test TTA, like configs/experiments/dd3d_kitti_dla34.yaml:52-57
+        "AUG": {"ENABLED": True, "MIN_SIZES": [320, 384, 448, 512, 576], "MAX_SIZE": 100000, "FLIP": True},
+    },
     "DATALOADER": {"TRAIN": {"SAMPLER": "RepeatFactorTrainingSampler", "REPEAT_THRESHOLD": 0.4}},
 }
 

@@ -92,10 +92,16 @@ def main():
 
     if cfg.EVAL_ONLY:
         do_test(cfg, model, output_dir, ckpt_path=cfg.MODEL.CKPT or None)
+        if cfg.TEST.AUG.ENABLED:
+            do_test(cfg, model, output_dir, ckpt_path=cfg.MODEL.CKPT or None, use_tta=True)
         return
 
     do_train(cfg, model, output_dir)
-    do_test(cfg, model, output_dir, ckpt_path=os.path.join(output_dir, "ckpt"))
+    ckpt = os.path.join(output_dir, "ckpt")
+    do_test(cfg, model, output_dir, ckpt_path=ckpt)
+    # Final test with TTA, like the reference (scripts/train.py:75-77).
+    if cfg.TEST.AUG.ENABLED:
+        do_test(cfg, model, output_dir, ckpt_path=ckpt, use_tta=True)
 
 
 def do_train(cfg, model, output_dir):
@@ -125,7 +131,7 @@ def do_train(cfg, model, output_dir):
     return state
 
 
-def do_test(cfg, model, output_dir, state=None, ckpt_path=None):
+def do_test(cfg, model, output_dir, state=None, ckpt_path=None, use_tta=False):
     import jax
 
     from dd3d_tpu.data.build import build_test_dataloader
@@ -164,6 +170,12 @@ def do_test(cfg, model, output_dir, state=None, ckpt_path=None):
 
     dataset_name = cfg.DATASETS.TEST.NAME
     group_size = 6 if cfg.MODEL.META_ARCHITECTURE == "NuscenesDD3D" else 1
+
+    if use_tta:
+        # TTA path: per-image multi-scale + flip inference (models/tta.py),
+        # mirroring do_test(use_tta=True) (reference train.py:204-210).
+        return _do_test_tta(cfg, model, variables, dataset_name, output_dir)
+
     loader = build_test_dataloader(
         cfg, dataset_name=dataset_name, group_size=group_size,
         shard_idx=jax.process_index(), num_shards=jax.process_count(),
@@ -172,6 +184,11 @@ def do_test(cfg, model, output_dir, state=None, ckpt_path=None):
     vis_dir = os.path.join(output_dir, "visualization") if output_dir else None
     results = inference_on_dataset(model, cfg, variables, loader, evaluators, visualize_dir=vis_dir)
 
+    _log_results(results)
+    return results
+
+
+def _log_results(results):
     flat = {}
     def _flatten(d, prefix=""):
         for k, v in d.items():
@@ -182,6 +199,38 @@ def do_test(cfg, model, output_dir, state=None, ckpt_path=None):
     _flatten(results)
     for k in sorted(flat):
         LOG.info("%s = %.4f", k, flat[k])
+
+
+def _do_test_tta(cfg, model, variables, dataset_name, output_dir):
+    import numpy as np
+
+    from dd3d_tpu.data.catalog import DatasetCatalog
+    from dd3d_tpu.data.mapper import read_image_bgr
+    from dd3d_tpu.evaluators import get_evaluator
+    from dd3d_tpu.models.tta import DD3DWithTTA
+
+    tta = DD3DWithTTA(cfg, model, variables)
+    evaluators = get_evaluator(cfg, dataset_name, output_dir=output_dir)
+    for ev in evaluators:
+        ev.reset()
+    dicts = DatasetCatalog.get(dataset_name)
+    for d in dicts:
+        image = read_image_bgr(d["file_name"]).astype(np.float32)
+        k = np.asarray(d["intrinsics"], np.float64).reshape(3, 3)
+        out = tta(image, k)
+        det = {
+            "image_id": d["image_id"],
+            "sample_id": d.get("sample_id"),
+            **out,
+        }
+        for ev in evaluators:
+            ev.process([det])
+    results = {}
+    for ev in evaluators:
+        r = ev.evaluate()
+        if r:
+            results.update({f"tta/{k}": v for k, v in r.items()})
+    _log_results(results)
     return results
 
 

@@ -116,6 +116,7 @@ def test_train_cli_smoke(kitti_root, tmp_path):  # noqa: F811
         "SOLVER.CHECKPOINT_PERIOD=1000",
         "TEST.IMS_PER_BATCH=2",
         "TEST.EVAL_PERIOD=0",
+        "TEST.AUG.ENABLED=False",  # per-variant compiles are too slow on CPU
         "INPUT.RESIZE.MIN_SIZE_TRAIN=[128]",
         "INPUT.RESIZE.MIN_SIZE_TEST=128",
         "DATALOADER.TRAIN.NUM_WORKERS=2",
