@@ -38,6 +38,7 @@ class DD3D(nn.Module):
     fcos2d_num_box_convs: int = 4
     fcos2d_use_scale: bool = True
     fcos2d_scale_init: float = 1.0
+    fcos2d_version: str = "v2"
     fcos3d_on: bool = True
     fcos3d_norm: str = "FrozenBN"
     fcos3d_num_convs: int = 4
@@ -71,6 +72,7 @@ class DD3D(nn.Module):
             norm=self.fcos2d_norm,
             use_scale=self.fcos2d_use_scale,
             box2d_scale_init_factor=self.fcos2d_scale_init,
+            version=self.fcos2d_version,
             dtype=self.dtype,
             name="fcos2d_head",
         )(features, train=train)
@@ -117,6 +119,7 @@ def build_dd3d(cfg) -> DD3D:
         fcos2d_num_box_convs=cfg.DD3D.FCOS2D.NUM_BOX_CONVS,
         fcos2d_use_scale=cfg.DD3D.FCOS2D.USE_SCALE,
         fcos2d_scale_init=cfg.DD3D.FCOS2D.BOX2D_SCALE_INIT_FACTOR,
+        fcos2d_version=cfg.DD3D.FCOS2D.get("_VERSION", "v2"),
         fcos3d_on=cfg.MODEL.BOX3D_ON,
         fcos3d_norm=cfg.DD3D.FCOS3D.NORM,
         fcos3d_num_convs=cfg.DD3D.FCOS3D.NUM_CONVS,

@@ -51,15 +51,21 @@ class FCOS2DHead(nn.Module):
     norm: str = "BN"
     use_scale: bool = True
     box2d_scale_init_factor: float = 1.0
+    # "v2" (default): conv(no bias) -> per-level norm -> relu (d2 Conv2d
+    # fusion, fcos2d.py:73-95); "v1": plain conv WITH bias -> per-level BN ->
+    # relu (fcos2d.py:60-72). Same math when the norm absorbs the bias; kept
+    # for config parity with DD3D.FCOS2D._VERSION.
+    version: str = "v2"
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, features: List[jnp.ndarray], train: bool = False):
         num_levels = len(features)
         in_channels = features[0].shape[-1]
+        tower_bias = self.version == "v1"
 
         cls_convs = [
-            nn.Conv(in_channels, (3, 3), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+            nn.Conv(in_channels, (3, 3), use_bias=tower_bias, dtype=self.dtype, param_dtype=jnp.float32,
                     kernel_init=kaiming_normal_fan_out, name=f"cls_tower_conv{i}")
             for i in range(self.num_cls_convs)
         ]
@@ -68,7 +74,7 @@ class FCOS2DHead(nn.Module):
             for i in range(self.num_cls_convs)
         ]
         box_convs = [
-            nn.Conv(in_channels, (3, 3), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
+            nn.Conv(in_channels, (3, 3), use_bias=tower_bias, dtype=self.dtype, param_dtype=jnp.float32,
                     kernel_init=kaiming_normal_fan_out, name=f"box2d_tower_conv{i}")
             for i in range(self.num_box_convs)
         ]
