@@ -121,7 +121,11 @@ def nuscenes_sample_aggregate(
                     r_wo = r_ws @ _quat_to_matrix_np(det["quat"][i] / np.linalg.norm(det["quat"][i]))
                     quat_g[i] = _matrix_to_quat_rowwise(r_wo)
                 tvec_g = det["tvec"] @ r_ws.T + pose.tvec
-                bev = boxes_to_bev5_np(quat_g, tvec_g, det["size"], cam_to_global=None)
+                # boxes are ALREADY in the global frame: apply only the
+                # vehicle->BEV axis swap (the reference passes
+                # pose_cam_global=Pose() here, postprocessing.py:55) —
+                # cam_to_global=identity selects that path.
+                bev = boxes_to_bev5_np(quat_g, tvec_g, det["size"], cam_to_global=Pose())
                 bev_list.append(bev)
                 glob_quat.append(quat_g)
                 glob_tvec.append(tvec_g)

@@ -71,7 +71,9 @@ def test_sample_aggregation_and_submission():
     # the SAME physical object (duplicate in global frame) -> BEV NMS keeps 1.
     def make_det(cam_idx):
         n = 2
-        quat = np.tile([np.sqrt(0.5), np.sqrt(0.5), 0, 0], (n, 1))
+        # Upright in the Z-UP global frame (identity camera poses below make
+        # the camera frame coincide with global): identity orientation.
+        quat = np.tile([1.0, 0.0, 0.0, 0.0], (n, 1))
         tvec = np.array([[0.0, 1.0, 10.0], [5.0 + cam_idx * 3, 1.0, 20.0]])
         return {
             "image_id": f"img{cam_idx}",
