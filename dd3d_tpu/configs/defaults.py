@@ -192,6 +192,10 @@ def get_cfg() -> CfgNode:
                 # Mesh axis names: data-parallel axis.
                 "MESH_AXES": ["data"],
             },
+            # W&B mirroring of every logged scalar (tridet/utils/events.py:11-21,
+            # tridet/utils/wandb.py); disabled by default, no-op if wandb is
+            # not installed.
+            "WANDB": {"ENABLED": False, "PROJECT": "dd3d_tpu", "TAGS": []},
             "EVAL_ONLY": False,
             "OUTPUT_ROOT": "./outputs",
         }

@@ -51,7 +51,14 @@ class TrainDataLoader:
                  num_workers: Optional[int] = None, seed: int = 0, size_divisibility: int = 128):
         dataset_name = dataset_name or cfg.DATASETS.TRAIN.NAME
         dicts = DatasetCatalog.get(dataset_name)
-        dicts = [d for d in dicts if len(d.get("annotations", []))]  # filter empty
+        # Task gating: only the detection tasks need non-empty annotations
+        # (reference gates this with TaskManager, tridet/data/build.py:33-36 —
+        # a depth-pretraining run keeps annotation-less images).
+        from dd3d_tpu.utils.tasks import TaskManager
+
+        tm = TaskManager(cfg)
+        if tm.has_detection_task:
+            dicts = [d for d in dicts if len(d.get("annotations", []))]  # filter empty
         md = MetadataCatalog.get(dataset_name)
         print_instances_class_histogram(dicts, md.get("thing_classes", []))
         self.dataset_dicts = dicts
@@ -75,7 +82,8 @@ class TrainDataLoader:
         self.mapper = DatasetMapper(
             build_augmentation(cfg, is_train=True),
             is_train=True,
-            box3d_on=cfg.MODEL.BOX3D_ON,
+            box3d_on=tm.box3d_on,
+            depth_on=tm.depth_on,
             nuscenes=cfg.MODEL.META_ARCHITECTURE == "NuscenesDD3D",
             device_jitter_cfg=jitter_cfg,
         )
@@ -115,8 +123,9 @@ class TrainDataLoader:
                 mapper = DatasetMapper(
                     build_augmentation(mapper_cfg, is_train=True),
                     is_train=True,
-                    box3d_on=self.cfg.MODEL.BOX3D_ON,
-                    nuscenes=self.cfg.MODEL.META_ARCHITECTURE == "NuscenesDD3D",
+                    box3d_on=self.mapper.box3d_on,
+                    depth_on=self.mapper.depth_on,
+                    nuscenes=self.mapper.nuscenes,
                     device_jitter_cfg=self.mapper.device_jitter_cfg,
                 )
             else:
@@ -156,10 +165,14 @@ class TestDataLoader:
                  group_size: int = 1, shard_idx: int = 0, num_shards: int = 1, size_divisibility: int = 128):
         dataset_name = dataset_name or cfg.DATASETS.TEST.NAME
         self.dataset_dicts = DatasetCatalog.get(dataset_name)
+        from dd3d_tpu.utils.tasks import TaskManager
+
+        tm = TaskManager(cfg)
         self.mapper = DatasetMapper(
             build_augmentation(cfg, is_train=False),
             is_train=False,
-            box3d_on=cfg.MODEL.BOX3D_ON,
+            box3d_on=tm.box3d_on,
+            depth_on=tm.depth_on,
             nuscenes=cfg.MODEL.META_ARCHITECTURE == "NuscenesDD3D",
         )
         if group_size > 1:

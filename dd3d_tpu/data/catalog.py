@@ -37,10 +37,12 @@ class MetadataCatalog:
 def register_datasets(cfg):
     """Register all known dataset families (lazy). cf.
     tridet/data/datasets/__init__.py:12-24."""
+    from dd3d_tpu.data.datasets.json_dataset import register_json_datasets
     from dd3d_tpu.data.datasets.kitti_3d import register_kitti_3d_datasets
     from dd3d_tpu.data.datasets.nuscenes import register_nuscenes_datasets
 
     names = []
     names += register_kitti_3d_datasets(cfg)
     names += register_nuscenes_datasets(cfg)
+    names += register_json_datasets(cfg)
     return names

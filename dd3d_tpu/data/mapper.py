@@ -28,10 +28,13 @@ def read_image_bgr(path: str) -> np.ndarray:
 
 class DatasetMapper:
     def __init__(self, augmentations: List[Augmentation], is_train: bool, box3d_on: bool = True,
-                 nuscenes: bool = False, device_jitter_cfg=None):
+                 nuscenes: bool = False, device_jitter_cfg=None, depth_on: bool = True):
         self.augmentations = augmentations
         self.is_train = is_train
         self.box3d_on = box3d_on
+        # Task gating (TaskManager): drop dense-depth GT when the depth task
+        # is off, cf. tridet dataset_mapper.py:167-177.
+        self.depth_on = depth_on
         self.nuscenes = nuscenes
         # When set, color jitter runs on-device: sample the blend weights here
         # and let the compiled step apply them (ops/color_jitter.py).
@@ -115,7 +118,7 @@ class DatasetMapper:
                 out["pose"] = dataset_dict["pose"]
         if "extrinsics" in dataset_dict:
             out["extrinsics"] = dataset_dict["extrinsics"]
-        if "depth" in sample and sample.get("depth") is not None:
+        if self.depth_on and sample.get("depth") is not None:
             out["depth"] = sample["depth"].astype(np.float32)
         return out
 
@@ -146,6 +149,13 @@ def collate_batch(samples: List[dict], max_gt: int, size_divisibility: int = 128
     gt_speeds = np.zeros((b, max_gt), dtype=np.float32)
     has_jitter = "color_jitter" in samples[0]
     color_jitter = np.ones((b, 3), dtype=np.float32)
+    # Camera->global poses as device arrays: needed by the in-graph
+    # cross-camera sample aggregation (ops/sample_bev_nms.py).
+    has_pose = samples[0].get("pose") is not None
+    pose_quat = np.tile(np.array([1.0, 0, 0, 0], np.float32), (b, 1))
+    pose_tvec = np.zeros((b, 3), dtype=np.float32)
+    has_depth = samples[0].get("depth") is not None
+    depth = np.zeros((b, ph, pw), dtype=np.float32) if has_depth else None
 
     for i, s in enumerate(samples):
         h, w = s["image"].shape[:2]
@@ -168,6 +178,13 @@ def collate_batch(samples: List[dict], max_gt: int, size_divisibility: int = 128
             gt_speeds[i, :n] = s["gt_speeds"][:n]
         if has_jitter:
             color_jitter[i] = s["color_jitter"]
+        if has_pose:
+            p = s["pose"]
+            pose_quat[i] = np.asarray(p["wxyz"], np.float32)
+            pose_tvec[i] = np.asarray(p["tvec"], np.float32)
+        if has_depth:
+            dh, dw = s["depth"].shape[:2]
+            depth[i, :dh, :dw] = s["depth"]
 
     batch = {
         "image": images,
@@ -183,6 +200,11 @@ def collate_batch(samples: List[dict], max_gt: int, size_divisibility: int = 128
         batch["gt_speeds"] = gt_speeds
     if has_jitter:
         batch["color_jitter"] = color_jitter
+    if has_pose:
+        batch["pose_quat"] = pose_quat
+        batch["pose_tvec"] = pose_tvec
+    if has_depth:
+        batch["depth"] = depth
     meta = [
         {k: s.get(k) for k in ("image_id", "sample_id", "width", "height", "pose", "extrinsics")}
         for s in samples

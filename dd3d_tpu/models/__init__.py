@@ -41,6 +41,7 @@ def build_feature_extractor(cfg):
 def build_model(cfg):
     """Resolve `cfg.MODEL.META_ARCHITECTURE` to a flax module."""
     import dd3d_tpu.models.dd3d  # noqa: F401
+    import dd3d_tpu.models.dense_depth  # noqa: F401
     import dd3d_tpu.models.nuscenes_dd3d  # noqa: F401
 
     builder = META_ARCH_REGISTRY.get(cfg.MODEL.META_ARCHITECTURE)

@@ -152,11 +152,22 @@ def feature_shapes_for(image_hw: Tuple[int, int], strides: Sequence[int]) -> Lis
     return [(h // s, w // s) for s in strides]
 
 
+def model_strides(model) -> Tuple[int, ...]:
+    """FPN strides of a built meta-arch (unwraps NuscenesDD3D's `base`).
+
+    Replaces the old p3-first guess (`2**(3+i)`) which is wrong for any
+    backbone whose first output level is not P3 (VERDICT weak #5); the
+    builder already derives these from `backbone.out_feature_strides`."""
+    base = getattr(model, "base", model)
+    return tuple(base.strides)
+
+
 def dd3d_losses(
-    cfg, outputs: Dict[str, List[jnp.ndarray]], batch: Dict[str, jnp.ndarray], return_aux: bool = False
+    cfg, outputs: Dict[str, List[jnp.ndarray]], batch: Dict[str, jnp.ndarray], return_aux: bool = False,
+    strides: Optional[Sequence[int]] = None,
 ):
     """Full DD3D training loss from raw per-level head outputs."""
-    strides = _strides_from_outputs(cfg, outputs)
+    strides = list(strides) if strides is not None else _strides_from_outputs(cfg, outputs)
     shapes = [x.shape[1:3] for x in outputs["logits"]]
     locations, loc_strides, loc_ranges, _ = build_location_bases(
         shapes, strides, cfg.DD3D.SIZES_OF_INTEREST, cfg.DD3D.FEATURE_LOCATIONS_OFFSET
@@ -199,9 +210,12 @@ def dd3d_losses(
 
 
 def _strides_from_outputs(cfg, outputs) -> List[int]:
-    # p3..p7 strides; infer from config FE tree (p{k} => 2**k).
+    # Fallback when no model is in scope: first output level named in
+    # FE.OUT_FEATURES sets the base (p{k} => 2**k); levels are octave-spaced.
+    names = list(cfg.FE.get("OUT_FEATURES", []) or [])
+    base = int(names[0][1:]) if names and names[0][:1] == "p" and names[0][1:].isdigit() else 3
     n = len(outputs["logits"])
-    return [2 ** (3 + i) for i in range(n)]
+    return [2 ** (base + i) for i in range(n)]
 
 
 # ---------------------------------------------------------------------------
@@ -213,6 +227,7 @@ def dd3d_inference(
     cfg,
     outputs: Dict[str, List[jnp.ndarray]],
     intrinsics: Optional[jnp.ndarray],
+    strides: Optional[Sequence[int]] = None,
 ) -> Dict[str, jnp.ndarray]:
     """Decode head outputs into fixed-size detections.
 
@@ -221,7 +236,7 @@ def dd3d_inference(
       fields. Boxes are in network-input resolution; host-side postprocess
       rescales to the original image (core.py:153-160).
     """
-    strides = _strides_from_outputs(cfg, outputs)
+    strides = list(strides) if strides is not None else _strides_from_outputs(cfg, outputs)
     inf2d = cfg.DD3D.FCOS2D.INFERENCE
     box3d_on = cfg.MODEL.BOX3D_ON and ("quat" in outputs)
 

@@ -135,6 +135,25 @@ def build_dd3d_dense_depth(cfg) -> DD3DDenseDepth:
     )
 
 
+def dd3d_dense_depth_losses(cfg, depth_preds: List[jnp.ndarray], batch: Dict[str, jnp.ndarray], strides=None):
+    """Train-step loss adapter for the DD3DDenseDepth meta-arch: maps the
+    model's per-level full-res depth maps + the batch's sparse GT depth onto
+    `dense_depth_losses` with the config's depth range / loss weight
+    (cf. DD3DDenseDepth.forward training branch, dense_depth.py:141-171)."""
+    if "depth" not in batch:
+        raise KeyError("DD3DDenseDepth training requires a 'depth' array in the batch "
+                       "(sparse GT depth; enable MODEL.DEPTH_ON so the mapper keeps it).")
+    f3d = cfg.DD3D.FCOS3D
+    return dense_depth_losses(
+        depth_preds,
+        batch["depth"],
+        beta=f3d.LOSS.SMOOTH_L1_BETA,
+        min_depth=f3d.MIN_DEPTH,
+        max_depth=f3d.MAX_DEPTH,
+        loss_weight=f3d.DEPTH_HEAD.LOSS_WEIGHT,
+    )
+
+
 def dense_depth_losses(
     depth_preds: List[jnp.ndarray],  # per-level (B, H, W) full-res predictions
     gt_depth: jnp.ndarray,  # (B, H, W) sparse GT (0 = missing)

@@ -50,7 +50,7 @@ def build_nuscenes_dd3d(cfg) -> NuscenesDD3D:
     return NuscenesDD3D(base=base, max_num_attributes=cfg.DD3D.NUSC.MAX_NUM_ATTRIBUTES)
 
 
-def nuscenes_dd3d_losses(cfg, outputs, batch):
+def nuscenes_dd3d_losses(cfg, outputs, batch, strides=None):
     """Full NuscenesDD3D loss: DD3D losses + attribute xent + speed smooth-L1.
 
     cf. NuscenesLoss (nuscenes_dd3d.py:199-265). Both extra losses are
@@ -64,7 +64,7 @@ def nuscenes_dd3d_losses(cfg, outputs, batch):
     """
     from dd3d_tpu.models.dd3d import dd3d_losses, flatten_levels
 
-    losses, targets, extra = dd3d_losses(cfg, outputs, batch, return_aux=True)
+    losses, targets, extra = dd3d_losses(cfg, outputs, batch, return_aux=True, strides=strides)
 
     attr_flat = flatten_levels(outputs["attr_logits"])  # (B, P, A)
     speed_flat = flatten_levels(outputs["speed"])[..., 0]  # (B, P)

@@ -104,7 +104,10 @@ class DD3DWithTTA:
         from dd3d_tpu.models.postprocess import unpack_detections
 
         h, w = image.shape[:2]
-        merged = {k: [] for k in ("classes", "scores", "scores_3d", "boxes2d", "quat", "tvec", "size", "conf3d")}
+        # attributes/speeds ride along for NuscenesDD3D variants
+        # (nuscenes_dd3d_tta.py:149-161).
+        merged = {k: [] for k in ("classes", "scores", "scores_3d", "boxes2d", "quat", "tvec", "size", "conf3d",
+                                  "attributes", "speeds")}
         for nh, nw, flipped in self._variants(image):
             sample = {
                 "image": image.astype(np.float32),
@@ -148,8 +151,14 @@ class DD3DWithTTA:
             merged["tvec"].append(tvec)
             merged["size"].append(per_im["size"])
             merged["conf3d"].append(per_im["conf3d"])
+            if "attributes" in per_im:
+                merged["attributes"].append(per_im["attributes"])
+                merged["speeds"].append(per_im["speeds"])
 
-        out = {k: np.concatenate(v) if len(v) else np.zeros((0,)) for k, v in merged.items()}
+        merged = {k: v for k, v in merged.items() if len(v)}
+        out = {k: np.concatenate(v) for k, v in merged.items()}
+        if not out:
+            out = {k: np.zeros((0,)) for k in ("classes", "scores", "scores_3d")}
 
         # Merged class-aware NMS + top-k (test_time_augmentation.py:163-181).
         if self.nms_thresh > 0 and len(out["classes"]):

@@ -74,7 +74,9 @@ def device_prefetch(data_iter, sharding, depth: int = 2):
 
 def create_train_state(cfg, model, sample_batch, rng=None) -> TrainState:
     rng = rng if rng is not None else jax.random.PRNGKey(0)
-    variables = model.init(rng, sample_batch["image"][:1], train=False)
+    # jit the init: one compiled program instead of op-by-op dispatch, and
+    # the persistent compilation cache makes repeat runs near-instant.
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(rng, sample_batch["image"][:1])
     tx = build_optimizer(cfg, variables["params"])
     return TrainState.create(variables["params"], variables.get("batch_stats", {}), tx)
 
@@ -119,7 +121,12 @@ def train(
 
     from dd3d_tpu.utils.events import EventStorage
 
-    storage = EventStorage(output_dir) if output_dir else None
+    wandb_cfg = cfg.get("WANDB", {})
+    storage = EventStorage(
+        output_dir,
+        wandb_enabled=bool(wandb_cfg.get("ENABLED", False)) and jax.process_index() == 0,
+        wandb_kwargs={"project": wandb_cfg.get("PROJECT", "dd3d_tpu"), "tags": list(wandb_cfg.get("TAGS", []))},
+    ) if output_dir else None
 
     import itertools
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from dd3d_tpu.models.dd3d import dd3d_losses
+from dd3d_tpu.models.dd3d import dd3d_losses, model_strides
 
 
 class TrainState(struct.PyTreeNode):
@@ -38,15 +38,36 @@ class TrainState(struct.PyTreeNode):
         )
 
 
+def _select_loss_fn(cfg):
+    """Loss path follows the meta-architecture, mirroring the reference where
+    each meta-arch owns its losses (DD3D core.py:95-112, NuscenesLoss
+    nuscenes_dd3d.py:199-265, DD3DDenseDepth dense_depth.py:165-171)."""
+    meta_arch = cfg.MODEL.META_ARCHITECTURE
+    if meta_arch == "NuscenesDD3D":
+        from dd3d_tpu.models.nuscenes_dd3d import nuscenes_dd3d_losses
+
+        return nuscenes_dd3d_losses
+    if meta_arch == "DD3DDenseDepth":
+        from dd3d_tpu.models.dense_depth import dd3d_dense_depth_losses
+
+        return dd3d_dense_depth_losses
+    return dd3d_losses
+
+
 def make_train_step(cfg, model, loss_fn=None):
     """Build the pure train-step function (to be jitted by the caller with
     donate_argnums=(0,) so buffers are reused in place)."""
-    loss_fn = loss_fn or dd3d_losses
+    loss_fn = loss_fn or _select_loss_fn(cfg)
+    strides = model_strides(model)
+    dense_depth = cfg.MODEL.META_ARCHITECTURE == "DD3DDenseDepth"
 
     # TPU.REMAT: "none" (default) stores all activations; "full" recomputes
     # the forward during backward (jax.checkpoint), trading ~1/3 more FLOPs
     # for the activation memory — enables ~2x larger per-chip batches
-    # (batch-32 at 384x1280 OOMs 16G HBM without it).
+    # (batch-32 at 384x1280 OOMs 16G HBM without it). Any other value is a
+    # named optax/jax checkpoint policy (e.g.
+    # "dots_with_no_batch_dims_saveable") applied as a selective policy —
+    # matmul outputs are saved, elementwise chains recomputed.
     remat = str(cfg.TPU.get("REMAT", "none"))
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
@@ -56,20 +77,37 @@ def make_train_step(cfg, model, loss_fn=None):
 
             images = apply_color_jitter(images, batch["color_jitter"])
 
-        def apply_model(params, images):
-            return model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                images,
-                train=True,
-                mutable=["batch_stats"],
-            )
+        if dense_depth:
+            inv_k = jnp.linalg.inv(batch["intrinsics"].astype(jnp.float32))
+
+            def apply_model(params, images):
+                return model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    images,
+                    inv_intrinsics=inv_k,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+        else:
+            def apply_model(params, images):
+                return model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    images,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
 
         if remat == "full":
             apply_model = jax.checkpoint(apply_model)
+        elif remat not in ("none", ""):
+            policy = getattr(jax.checkpoint_policies, remat, None)
+            if policy is None:
+                raise ValueError(f"Unknown TPU.REMAT policy {remat!r}")
+            apply_model = jax.checkpoint(apply_model, policy=policy)
 
         def compute_loss(params):
             outputs, new_model_state = apply_model(params, images)
-            losses = loss_fn(cfg, outputs, batch)
+            losses = loss_fn(cfg, outputs, batch, strides=strides)
             total = sum(losses.values())
             return total, (losses, new_model_state["batch_stats"])
 

@@ -144,7 +144,9 @@ def do_test(cfg, model, output_dir, state=None, ckpt_path=None, use_tta=False):
         import numpy as np
         import jax.numpy as jnp
 
-        variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3)), train=False)
+        variables = jax.jit(lambda r, x: model.init(r, x, train=False))(
+            jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3))
+        )
         if ckpt_path and (ckpt_path.endswith((".pth", ".pt")) or ckpt_path.startswith(("http", "s3://", "gs://"))):
             # Reference PyTorch checkpoint: resolve remote path, convert.
             from dd3d_tpu.utils.convert_checkpoint import convert_torch_state_dict
@@ -182,7 +184,8 @@ def do_test(cfg, model, output_dir, state=None, ckpt_path=None, use_tta=False):
     )
     evaluators = get_evaluator(cfg, dataset_name, output_dir=output_dir)
     vis_dir = os.path.join(output_dir, "visualization") if output_dir else None
-    results = inference_on_dataset(model, cfg, variables, loader, evaluators, visualize_dir=vis_dir)
+    results = inference_on_dataset(model, cfg, variables, loader, evaluators,
+                                   visualize_dir=vis_dir, group_size=group_size)
 
     _log_results(results)
     return results
@@ -202,29 +205,65 @@ def _log_results(results):
 
 
 def _do_test_tta(cfg, model, variables, dataset_name, output_dir):
+    import jax
     import numpy as np
 
     from dd3d_tpu.data.catalog import DatasetCatalog
     from dd3d_tpu.data.mapper import read_image_bgr
+    from dd3d_tpu.data.samplers import InferenceGroupSampler, InferenceSampler
     from dd3d_tpu.evaluators import get_evaluator
     from dd3d_tpu.models.tta import DD3DWithTTA
 
-    tta = DD3DWithTTA(cfg, model, variables)
+    from dd3d_tpu.models.tta import NuscenesDD3DWithTTA
+
+    nuscenes = cfg.MODEL.META_ARCHITECTURE == "NuscenesDD3D"
+    tta = (NuscenesDD3DWithTTA if nuscenes else DD3DWithTTA)(cfg, model, variables)
     evaluators = get_evaluator(cfg, dataset_name, output_dir=output_dir)
     for ev in evaluators:
         ev.reset()
     dicts = DatasetCatalog.get(dataset_name)
-    for d in dicts:
+    # Shard across processes like the non-TTA path; without this every
+    # process would evaluate the FULL dataset and the evaluator all-gather
+    # would count each prediction process_count times (duplicate detections
+    # become false positives after first match).
+    group_size = 6 if nuscenes else 1
+    if group_size > 1:
+        sampler = InferenceGroupSampler(len(dicts), group_size, jax.process_index(), jax.process_count())
+    else:
+        sampler = InferenceSampler(len(dicts), jax.process_index(), jax.process_count())
+    dicts = [dicts[i] for i in sampler]
+
+    def run_one(d):
         image = read_image_bgr(d["file_name"]).astype(np.float32)
         k = np.asarray(d["intrinsics"], np.float64).reshape(3, 3)
         out = tta(image, k)
-        det = {
-            "image_id": d["image_id"],
-            "sample_id": d.get("sample_id"),
-            **out,
-        }
-        for ev in evaluators:
-            ev.process([det])
+        det = {"image_id": d["image_id"], "sample_id": d.get("sample_id"), **out}
+        if d.get("pose") is not None:
+            det["pose"] = d["pose"]
+        return det
+
+    if nuscenes:
+        # Post-hoc 6-camera sample aggregation (nuscenes_dd3d_tta.py:57-73).
+        from dd3d_tpu.models.cross_camera import get_group_idxs
+        from dd3d_tpu.structures.pose import Pose
+
+        for g in range(0, len(dicts), group_size):
+            group = dicts[g : g + group_size]
+            dets = [run_one(d) for d in group]
+            if cfg.DD3D.INFERENCE.get("NUSC_SAMPLE_AGGREGATE", False):
+                group_idxs = get_group_idxs([d.get("sample_id") or "s" for d in dets], group_size)
+                poses = [
+                    Pose(wxyz=d["pose"]["wxyz"], tvec=d["pose"]["tvec"]) if d.get("pose") else Pose()
+                    for d in group
+                ]
+                dets = tta.aggregate_sample(dets, group_idxs, cfg.DD3D.NUM_CLASSES, poses)
+            for ev in evaluators:
+                ev.process(dets)
+    else:
+        for d in dicts:
+            det = run_one(d)
+            for ev in evaluators:
+                ev.process([det])
     results = {}
     for ev in evaluators:
         r = ev.evaluate()

@@ -12,6 +12,16 @@ from dd3d_tpu.structures.pose import Pose
 
 def _nusc_cfg():
     cfg = get_experiment_cfg("dd3d_nusc_dla34")
+    # Shrink for CPU-compile speed: the test exercises the attr/speed head +
+    # loss wiring, which is tower-count independent (full-size coverage lives
+    # in the slow e2e tests).
+    cfg.FE.BACKBONE.NAME = "DLA-46-C"
+    cfg.FE.BUILDER = "build_fcos_dla_fpn_backbone_p6"
+    cfg.FE.OUT_FEATURES = ["p3", "p4", "p5", "p6"]
+    cfg.FE.FPN.OUT_CHANNELS = 64
+    cfg.DD3D.FCOS2D.NUM_CLS_CONVS = 1
+    cfg.DD3D.FCOS2D.NUM_BOX_CONVS = 1
+    cfg.DD3D.FCOS3D.NUM_CONVS = 1
     return cfg
 
 
@@ -19,7 +29,7 @@ def _batch(b=1, g=4):
     rng = np.random.RandomState(0)
     k = np.array([[400.0, 0, 128], [0, 400.0, 64], [0, 0, 1]], np.float32)
     batch = {
-        "image": jnp.asarray(rng.rand(b, 128, 256, 3).astype(np.float32) * 255),
+        "image": jnp.asarray(rng.rand(b, 64, 128, 3).astype(np.float32) * 255),
         "intrinsics": jnp.asarray(np.tile(k, (b, 1, 1))),
         "gt_boxes2d": jnp.asarray(np.tile(np.array([90, 30, 170, 95], np.float32), (b, g, 1))),
         "gt_classes": jnp.full((b, g), 3, jnp.int32),  # car
@@ -37,8 +47,8 @@ def test_nuscenes_model_and_losses():
     cfg = _nusc_cfg()
     model = build_model(cfg)
     batch = _batch()
-    variables = model.init(jax.random.PRNGKey(0), batch["image"], train=False)
-    out = model.apply(variables, batch["image"], train=False)
+    variables = jax.jit(lambda r, x: model.init(r, x, train=False))(jax.random.PRNGKey(0), batch["image"])
+    out = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, batch["image"])
     assert "attr_logits" in out and "speed" in out
     assert out["attr_logits"][0].shape[-1] == 4
     # speed is relu'd -> non-negative
@@ -52,13 +62,13 @@ def test_nuscenes_model_and_losses():
         losses = nuscenes_dd3d_losses(cfg, outputs, batch)
         return sum(losses.values()), losses
 
-    (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(variables["params"])
+    (total, losses), grads = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(variables["params"])
     assert "loss_attr" in losses and "loss_speed" in losses
     assert np.isfinite(float(total))
     assert all(bool(jnp.all(jnp.isfinite(g))) for g in jax.tree.leaves(grads))
 
     # inference carries attributes/speeds
-    det = dd3d_inference(cfg, out, batch["intrinsics"])
+    det = jax.jit(lambda o, k: dd3d_inference(cfg, o, k))(out, batch["intrinsics"])
     assert "attributes" in det and "speeds" in det
     assert det["attributes"].shape == det["classes"].shape
 

@@ -11,11 +11,11 @@ from dd3d_tpu.training.train_loop import create_train_state
 from dd3d_tpu.training.train_step import make_train_step
 
 
-def _tiny_batch(b, g=4):
+def _tiny_batch(b, g=4, hw=64):
     rng = np.random.RandomState(0)
     k = np.array([[700.0, 0, 64], [0, 700.0, 64], [0, 0, 1]], np.float32)
     return {
-        "image": jnp.asarray(rng.rand(b, 128, 128, 3).astype(np.float32) * 255),
+        "image": jnp.asarray(rng.rand(b, hw, hw, 3).astype(np.float32) * 255),
         "intrinsics": jnp.asarray(np.tile(k, (b, 1, 1))),
         "gt_boxes2d": jnp.asarray(np.tile(np.array([20, 20, 90, 80], np.float32), (b, g, 1))),
         "gt_classes": jnp.zeros((b, g), jnp.int32),
@@ -36,8 +36,17 @@ def test_schedule():
 
 def test_train_step_multidevice():
     """Full train step over the fake 8-device mesh: the core multi-chip test
-    (SURVEY.md §5.8 TPU mapping)."""
+    (SURVEY.md §5.8 TPU mapping). Shrunk model (slim DLA + 1-conv towers +
+    64-ch FPN): the test is about sharding semantics, not net capacity, and
+    the full DLA-34 compile took >2 min of CPU time alone."""
     cfg = get_experiment_cfg("dd3d_kitti_dla34")
+    cfg.FE.BACKBONE.NAME = "DLA-46-C"
+    cfg.FE.BUILDER = "build_fcos_dla_fpn_backbone_p6"
+    cfg.FE.OUT_FEATURES = ["p3", "p4", "p5", "p6"]
+    cfg.FE.FPN.OUT_CHANNELS = 64
+    cfg.DD3D.FCOS2D.NUM_CLS_CONVS = 1
+    cfg.DD3D.FCOS2D.NUM_BOX_CONVS = 1
+    cfg.DD3D.FCOS3D.NUM_CONVS = 1
     model = build_model(cfg)
     mesh = make_mesh(8)
 
