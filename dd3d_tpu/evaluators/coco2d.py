@@ -124,18 +124,20 @@ def _accumulate(per_image, max_dets):
         ignored = np.concatenate([p[2][ti] for p in per_image])[order]
         keep = ~ignored
         m = matched[keep]
+        if len(m) == 0:  # GT present but zero (non-ignored) detections
+            ap[ti] = 0.0
+            ar[ti] = 0.0
+            continue
         tp = np.cumsum(m)
         fp = np.cumsum(~m)
         recall = tp / npig
         precision = tp / np.maximum(tp + fp, 1e-9)
-        ar[ti] = recall[-1] if len(recall) else 0.0
+        ar[ti] = recall[-1]
         # monotone envelope
         for i in range(len(precision) - 2, -1, -1):
             precision[i] = max(precision[i], precision[i + 1])
         idx = np.searchsorted(recall, RECALL_POINTS, side="left")
-        prec_at = np.where(idx < len(precision), precision[np.minimum(idx, max(len(precision) - 1, 0))], 0.0)
-        if len(precision) == 0:
-            prec_at = np.zeros_like(RECALL_POINTS)
+        prec_at = np.where(idx < len(precision), precision[np.minimum(idx, len(precision) - 1)], 0.0)
         ap[ti] = prec_at.mean()
     return ap, ar
 

@@ -180,7 +180,14 @@ def convert_torch_state_dict(
         if leaf == "kernel" and value.ndim == 4:
             value = value.transpose(2, 3, 1, 0)
         placed = False
+        # NuscenesDD3D nests the DD3D module under "base" (attr/speed heads
+        # live at the root); try both rootings.
+        candidate_list = []
         for keys, leaf_name, coll in _candidates(path, leaf):
+            candidate_list.append((keys, leaf_name, coll))
+            if "base" in trees["params"] and keys[0] != "base":
+                candidate_list.append((["base"] + keys, leaf_name, coll))
+        for keys, leaf_name, coll in candidate_list:
             node = _get_node(trees[coll], keys)
             if node is not None and leaf_name in node:
                 target = node[leaf_name]
