@@ -2,11 +2,19 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline derivation (BASELINE.md): the reference publishes no images/sec; its
-implied TRAIN throughput is ~12 imgs/s per A100 (25k iters x 64 imgs / 4.5 h
-on 8 GPUs). The repo's north star is >= 5x A100 images/sec/chip for
-inference; with no published A100 inference figure we use 5 x 12 = 60 imgs/s
-as the provisional bar, so vs_baseline = (our imgs/s/chip) / 60.
+Baseline derivation (full math in BASELINE.md "A100 inference baseline"):
+the reference publishes no inference images/sec, so the bar is derived from
+first principles and deliberately OVERESTIMATES the reference:
+  - the compiled inference program is 215.6 GFLOP/img at 384x1280
+    (XLA cost analysis, conv stack + decode + NMS);
+  - an A100 at 25% fp16 MFU (0.25 x 312 TFLOP/s) would do
+    0.25*312e12/215.6e9 = 362 imgs/s. 25% is generous: the reference's own
+    measured TRAIN throughput (12 imgs/s/A100 implied by its published
+    wall-clock) corresponds to ~2.5% MFU, and its inference path is
+    dynamic-shape python-loop decode over a BN-heavy CNN.
+vs_baseline = (our imgs/s/chip) / 362.
+(Round-1 reports used a 60 imgs/s proxy bar = 5 x the reference's implied
+train throughput; VERDICT r1 called that soft, hence this derivation.)
 """
 import json
 import time
@@ -62,7 +70,7 @@ def main():
                 "metric": "dd3d_dla34_kitti_inference_imgs_per_sec_per_chip",
                 "value": round(imgs_per_sec, 2),
                 "unit": "imgs/s",
-                "vs_baseline": round(imgs_per_sec / 60.0, 3),
+                "vs_baseline": round(imgs_per_sec / 362.0, 3),
             }
         )
     )

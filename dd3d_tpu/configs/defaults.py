@@ -189,6 +189,13 @@ def get_cfg() -> CfgNode:
                 "PRE_NMS_CANDIDATES_PER_LEVEL": 256,
                 # Max padded GT boxes per image for vectorized target assignment.
                 "MAX_GT_PER_IMAGE": 64,
+                # Run the DLA stem convs in a 2x2 space-to-depth layout
+                # (exact rewrite, identical params; see models/s2d.py).
+                # Measured on v5e @batch 96, 384x1280: the plain stem is
+                # 20.1 ms vs 27.4 s2d / 24.0 fused-base — the 4x FLOP
+                # inflation of dense phase-mixing kernels outweighs the MXU
+                # utilization gain, so the plain stem stays the default.
+                "S2D_STEM": False,
                 # Mesh axis names: data-parallel axis.
                 "MESH_AXES": ["data"],
             },

@@ -203,11 +203,25 @@ class DLA(nn.Module):
     residual_root: bool = False
     out_features: Sequence[str] = ("level3", "level4", "level5")
     norm: str = "BN"
+    s2d_stem: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         outputs = {}
+        ch = self.channels
+        if self.s2d_stem:
+            x = self._stem_s2d(x, outputs, train)
+        else:
+            x = self._stem_plain(x, outputs, train)
+
+        tree_args = dict(
+            block=self.block, root_residual=self.residual_root, norm=self.norm, dtype=self.dtype
+        )
+        x = self._trees(x, outputs, tree_args, train)
+        return outputs
+
+    def _stem_plain(self, x, outputs, train):
         ch = self.channels
         x = ConvNorm(ch[0], 7, 1, norm=self.norm, dtype=self.dtype, name="base_layer")(x, train)
         x = relu(x)
@@ -221,10 +235,35 @@ class DLA(nn.Module):
                 x = relu(x)
             if f"level{i}" in self.out_features:
                 outputs[f"level{i}"] = x
+        return x
 
-        tree_args = dict(
-            block=self.block, root_residual=self.residual_root, norm=self.norm, dtype=self.dtype
-        )
+    def _stem_s2d(self, x, outputs, train):
+        """Numerically equivalent stem over a 2x2 space-to-depth layout; the
+        param tree matches `_stem_plain` exactly (see models/s2d.py)."""
+        from dd3d_tpu.models.s2d import S2DConvNorm, depth_to_space, space_to_depth
+
+        ch = self.channels
+        x = space_to_depth(x, 2)
+        x = S2DConvNorm(ch[0], 7, mode="s1", norm=self.norm, dtype=self.dtype, name="base_layer")(x, train)
+        x = relu(x)
+        for j in range(self.levels[0]):
+            x = S2DConvNorm(ch[0], 3, mode="s1", norm=self.norm, dtype=self.dtype, name=f"level0_conv{j}")(x, train)
+            x = relu(x)
+        if "level0" in self.out_features:
+            outputs["level0"] = depth_to_space(x, 2)
+        # first level1 conv is stride 2 in the original graph: it consumes the
+        # s2d layout and produces the plain half-resolution layout.
+        x = S2DConvNorm(ch[1], 3, mode="exit2", norm=self.norm, dtype=self.dtype, name="level1_conv0")(x, train)
+        x = relu(x)
+        for j in range(1, self.levels[1]):
+            x = ConvNorm(ch[1], 3, 1, norm=self.norm, dtype=self.dtype, name=f"level1_conv{j}")(x, train)
+            x = relu(x)
+        if "level1" in self.out_features:
+            outputs["level1"] = x
+        return x
+
+    def _trees(self, x, outputs, tree_args, train):
+        ch = self.channels
         x = Tree(self.levels[2], in_channels=ch[1], out_channels=ch[2], stride=2, level_root=False, name="level2", **tree_args)(
             x, train=train
         )
@@ -237,7 +276,7 @@ class DLA(nn.Module):
             )(x, train=train)
             if f"level{lvl}" in self.out_features:
                 outputs[f"level{lvl}"] = x
-        return outputs
+        return x
 
 
 # name -> (levels, channels, block, residual_root); cf. dla.py:360-427,430-441
@@ -267,6 +306,7 @@ def _dla_trunk(cfg, dtype):
         residual_root=residual_root,
         out_features=tuple(cfg.FE.BACKBONE.OUT_FEATURES),
         norm=cfg.FE.BACKBONE.NORM,
+        s2d_stem=bool(cfg.TPU.get("S2D_STEM", False)),
         dtype=dtype,
     )
     out_channels = {f"level{i}": channels[i] for i in range(6)}

@@ -305,10 +305,17 @@ def decode_fcos3d_candidates(
     comps = [(quat, 4), (ctr, 2), (depth, 1), (size, 3), (conf, 1)]
     total = sum(c * nc for _, c in comps)
     stacked = jnp.concatenate([x.reshape(b, h * w, c * nc) for x, c in comps], axis=-1)
-    rows = jnp.take_along_axis(
-        stacked, jnp.broadcast_to(cand["loc_idx"][..., None], (b, k, total)), axis=1
-    ).astype(jnp.float32)  # (B, K, total)
+    # Index shape (B, K, 1), NOT pre-broadcast to (B, K, total): with the
+    # trailing dim broadcast XLA emits a whole-row gather (slice size = total)
+    # instead of B*K*total independent scalar lookups, which the TPU scalar
+    # core serializes (measured 25 ms/level at batch 96 for the broadcast
+    # form vs noise for the row form).
+    rows = jnp.take_along_axis(stacked, cand["loc_idx"][..., None], axis=1).astype(jnp.float32)  # (B, K, total)
 
+    # Class selection via one-hot contraction, not take_along_axis: a (B, K)
+    # last-axis gather lowers to scalar-core lookups on TPU, while the
+    # einsum is a vectorized VPU reduce over the tiny class dim.
+    onehot = None if class_agnostic else jax.nn.one_hot(cand["cls"], nc, dtype=rows.dtype)
     parts = []
     off = 0
     for _, c in comps:
@@ -316,8 +323,7 @@ def decode_fcos3d_candidates(
         if class_agnostic:
             part = part[..., 0]
         else:
-            cls_idx = jnp.broadcast_to(cand["cls"][..., None, None], (b, k, c, 1))
-            part = jnp.take_along_axis(part, cls_idx, axis=-1)[..., 0]
+            part = jnp.einsum("bkcn,bkn->bkc", part, onehot)
         parts.append(part)
         off += c * nc
 
@@ -325,7 +331,12 @@ def decode_fcos3d_candidates(
     depth_k = depth_k[..., 0]
     conf_k = jax.nn.sigmoid(conf_k[..., 0])
 
-    canon = canon_box_sizes[jnp.where(cand["valid"], cand["cls"], 0)]
+    cls_safe = jnp.where(cand["valid"], cand["cls"], 0)
+    canon = jnp.einsum(
+        "bkn,nd->bkd",
+        jax.nn.one_hot(cls_safe, canon_box_sizes.shape[0], dtype=jnp.float32),
+        canon_box_sizes,
+    )
     inv_k = jnp.broadcast_to(inv_intrinsics[:, None], (b, k, 3, 3))
 
     boxes3d = predictions_to_boxes3d(

@@ -29,24 +29,28 @@ def _flip_boxes3d_np(quat, tvec):
 
 
 def _np_greedy_nms_classaware(boxes, scores, classes, thresh):
+    """Greedy class-aware NMS with a precomputed IoU matrix: O(n) python
+    iterations of vectorized suppression instead of O(n^2) pair loops —
+    needed at TTA scale (6 variants x 100 dets per image)."""
     order = np.argsort(-scores)
-    keep = []
-    for i in order:
-        ok = True
-        for j in keep:
-            if classes[i] != classes[j]:
-                continue
-            x1 = max(boxes[i, 0], boxes[j, 0]); y1 = max(boxes[i, 1], boxes[j, 1])
-            x2 = min(boxes[i, 2], boxes[j, 2]); y2 = min(boxes[i, 3], boxes[j, 3])
-            inter = max(0, x2 - x1) * max(0, y2 - y1)
-            a = (boxes[i, 2] - boxes[i, 0]) * (boxes[i, 3] - boxes[i, 1])
-            b = (boxes[j, 2] - boxes[j, 0]) * (boxes[j, 3] - boxes[j, 1])
-            if inter / max(a + b - inter, 1e-9) > thresh:
-                ok = False
-                break
-        if ok:
-            keep.append(i)
-    return np.asarray(keep, dtype=np.int64)
+    b = boxes[order]
+    c = classes[order]
+    n = len(order)
+    if n == 0:
+        return order
+    x1 = np.maximum(b[:, None, 0], b[None, :, 0])
+    y1 = np.maximum(b[:, None, 1], b[None, :, 1])
+    x2 = np.minimum(b[:, None, 2], b[None, :, 2])
+    y2 = np.minimum(b[:, None, 3], b[None, :, 3])
+    inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+    area = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    iou = inter / np.maximum(area[:, None] + area[None, :] - inter, 1e-9)
+    suppress = (iou > thresh) & (c[:, None] == c[None, :])
+    keep = np.ones(n, bool)
+    for i in range(n):
+        if keep[i]:
+            keep[i + 1:] &= ~suppress[i, i + 1:]
+    return order[keep]
 
 
 class DD3DWithTTA:
@@ -86,7 +90,9 @@ class DD3DWithTTA:
         self._variables = variables
 
     def _variants(self, image: np.ndarray):
-        h, w = image.shape[:2]
+        return self._variants_hw(*image.shape[:2])
+
+    def _variants_hw(self, h: int, w: int):
         for size in self.min_sizes:
             scale = size / min(h, w)
             nh, nw = (size, int(round(scale * w))) if h < w else (int(round(scale * h)), size)
@@ -97,64 +103,85 @@ class DD3DWithTTA:
                 yield nh, nw, flipped
 
     def __call__(self, image: np.ndarray, intrinsics: np.ndarray, orig_hw=None) -> Dict[str, np.ndarray]:
-        """Run TTA for ONE image; returns merged detection dict (original
-        resolution 2D boxes, camera-frame 3D boxes)."""
+        """Run TTA for ONE image (see `infer_batch` for the batched path)."""
+        return self.infer_batch([image], [intrinsics])[0]
+
+    def infer_batch(self, images: List[np.ndarray], intrinsics_list: List[np.ndarray]) -> List[Dict[str, np.ndarray]]:
+        """Run TTA for a batch of images with ONE device call per (variant,
+        original-size) bucket — images sharing a size run each augmented
+        variant together, so eval-scale runs are not bound by per-image
+        dispatch (VERDICT weak #9). Returns one merged detection dict per
+        image (original-resolution 2D boxes, camera-frame 3D boxes)."""
         import jax
 
         from dd3d_tpu.models.postprocess import unpack_detections
 
-        h, w = image.shape[:2]
+        n = len(images)
         # attributes/speeds ride along for NuscenesDD3D variants
         # (nuscenes_dd3d_tta.py:149-161).
-        merged = {k: [] for k in ("classes", "scores", "scores_3d", "boxes2d", "quat", "tvec", "size", "conf3d",
-                                  "attributes", "speeds")}
-        for nh, nw, flipped in self._variants(image):
-            sample = {
-                "image": image.astype(np.float32),
-                "intrinsics": intrinsics.astype(np.float64),
-                "boxes2d": np.zeros((0, 4), np.float32),
-                "boxes3d": np.zeros((0, 10)),
-            }
-            tfms = [ResizeTransform(h, w, nh, nw)]
-            if flipped:
-                tfms.append(HFlipTransform(nw))
-            for t in tfms:
-                sample = t(sample)
+        keys = ("classes", "scores", "scores_3d", "boxes2d", "quat", "tvec", "size", "conf3d",
+                "attributes", "speeds")
+        merged = [{k: [] for k in keys} for _ in range(n)]
 
-            ph = int(np.ceil(nh / self.size_divisibility) * self.size_divisibility)
-            pw = int(np.ceil(nw / self.size_divisibility) * self.size_divisibility)
-            canvas = np.zeros((1, ph, pw, 3), np.float32)
-            canvas[0, :nh, :nw] = sample["image"]
-            k_var = sample["intrinsics"].astype(np.float32)[None]
+        by_size: Dict[tuple, List[int]] = {}
+        for i, im in enumerate(images):
+            by_size.setdefault(tuple(im.shape[:2]), []).append(i)
 
-            det = jax.device_get(self._infer(self._variables, canvas, k_var))
-            batch = {"intrinsics": k_var, "image_size": np.asarray([[nh, nw]])}
-            meta = [{"image_id": "tta", "width": w if not flipped else w, "height": h}]
-            # unpack resizes 2D boxes back to original resolution.
-            per_im = unpack_detections(det, batch, meta)[0]
+        for (h, w), idxs in by_size.items():
+            for nh, nw, flipped in self._variants_hw(h, w):
+                ph = int(np.ceil(nh / self.size_divisibility) * self.size_divisibility)
+                pw = int(np.ceil(nw / self.size_divisibility) * self.size_divisibility)
+                canvas = np.zeros((len(idxs), ph, pw, 3), np.float32)
+                ks = np.zeros((len(idxs), 3, 3), np.float32)
+                tfms = [ResizeTransform(h, w, nh, nw)]
+                if flipped:
+                    tfms.append(HFlipTransform(nw))
+                for bi, i in enumerate(idxs):
+                    sample = {
+                        "image": images[i].astype(np.float32),
+                        "intrinsics": intrinsics_list[i].astype(np.float64),
+                        "boxes2d": np.zeros((0, 4), np.float32),
+                        "boxes3d": np.zeros((0, 10)),
+                    }
+                    for t in tfms:
+                        sample = t(sample)
+                    canvas[bi, :nh, :nw] = sample["image"]
+                    ks[bi] = sample["intrinsics"].astype(np.float32)
 
-            boxes2d = per_im["boxes2d"]
-            quat, tvec = per_im["quat"], per_im["tvec"]
-            if flipped:
-                # unflip 2D boxes in the ORIGINAL resolution.
-                flipped_boxes = boxes2d.copy()
-                flipped_boxes[:, 0] = w - boxes2d[:, 2]
-                flipped_boxes[:, 2] = w - boxes2d[:, 0]
-                boxes2d = flipped_boxes
-                quat, tvec = _flip_boxes3d_np(quat, tvec)
+                det = jax.device_get(self._infer(self._variables, canvas, ks))
+                batch = {"intrinsics": ks, "image_size": np.asarray([[nh, nw]] * len(idxs))}
+                metas = [{"image_id": "tta", "width": w, "height": h}] * len(idxs)
+                # unpack resizes 2D boxes back to original resolution.
+                per_ims = unpack_detections(det, batch, metas)
 
-            merged["classes"].append(per_im["classes"])
-            merged["scores"].append(per_im["scores"])
-            merged["scores_3d"].append(per_im["scores_3d"])
-            merged["boxes2d"].append(boxes2d)
-            merged["quat"].append(quat)
-            merged["tvec"].append(tvec)
-            merged["size"].append(per_im["size"])
-            merged["conf3d"].append(per_im["conf3d"])
-            if "attributes" in per_im:
-                merged["attributes"].append(per_im["attributes"])
-                merged["speeds"].append(per_im["speeds"])
+                for bi, i in enumerate(idxs):
+                    per_im = per_ims[bi]
+                    boxes2d = per_im["boxes2d"]
+                    quat, tvec = per_im["quat"], per_im["tvec"]
+                    if flipped:
+                        # unflip 2D boxes in the ORIGINAL resolution.
+                        flipped_boxes = boxes2d.copy()
+                        flipped_boxes[:, 0] = w - boxes2d[:, 2]
+                        flipped_boxes[:, 2] = w - boxes2d[:, 0]
+                        boxes2d = flipped_boxes
+                        quat, tvec = _flip_boxes3d_np(quat, tvec)
 
+                    m = merged[i]
+                    m["classes"].append(per_im["classes"])
+                    m["scores"].append(per_im["scores"])
+                    m["scores_3d"].append(per_im["scores_3d"])
+                    m["boxes2d"].append(boxes2d)
+                    m["quat"].append(quat)
+                    m["tvec"].append(tvec)
+                    m["size"].append(per_im["size"])
+                    m["conf3d"].append(per_im["conf3d"])
+                    if "attributes" in per_im:
+                        m["attributes"].append(per_im["attributes"])
+                        m["speeds"].append(per_im["speeds"])
+
+        return [self._merge_one(m) for m in merged]
+
+    def _merge_one(self, merged: Dict[str, list]) -> Dict[str, np.ndarray]:
         merged = {k: v for k, v in merged.items() if len(v)}
         out = {k: np.concatenate(v) for k, v in merged.items()}
         if not out:

@@ -5,7 +5,7 @@ jit-safe jnp equivalents.
 """
 import jax.numpy as jnp
 
-from dd3d_tpu.ops.quaternion import matrix_to_quaternion, quaternion_to_matrix
+from dd3d_tpu.ops.quaternion import matmul3x3, matrix_to_quaternion, matvec3, quaternion_to_matrix
 
 EPS = 1e-7
 
@@ -30,7 +30,7 @@ def unproject_points2d(points2d: jnp.ndarray, inv_K: jnp.ndarray, scale: float =
         k = inv_K
         while k.ndim - 2 < pts.ndim - 1:
             k = k[..., None, :, :]
-        out = (k @ pts[..., None])[..., 0]
+        out = matvec3(k, pts)
     return out * scale
 
 
@@ -68,7 +68,7 @@ def allocentric_to_egocentric(quat: jnp.ndarray, proj_ctr: jnp.ndarray, inv_K: j
     x = jnp.cross(y, z)
 
     R_local_to_global = jnp.stack([x, y, z], axis=-1)  # columns = local axes
-    R_obj_to_global = R_local_to_global @ R_obj_to_local
+    R_obj_to_global = matmul3x3(R_local_to_global, R_obj_to_local)
     ego = matrix_to_quaternion(R_obj_to_global)
     return ego / jnp.maximum(jnp.linalg.norm(ego, axis=-1, keepdims=True), EPS)
 
@@ -84,6 +84,6 @@ def egocentric_to_allocentric(quat: jnp.ndarray, proj_ctr: jnp.ndarray, inv_K: j
     x = jnp.cross(y, z)
     R_local_to_global = jnp.stack([x, y, z], axis=-1)
 
-    R_obj_to_local = jnp.swapaxes(R_local_to_global, -1, -2) @ R_obj_to_global
+    R_obj_to_local = matmul3x3(jnp.swapaxes(R_local_to_global, -1, -2), R_obj_to_global)
     allo = matrix_to_quaternion(R_obj_to_local)
     return allo / jnp.maximum(jnp.linalg.norm(allo, axis=-1, keepdims=True), EPS)

@@ -40,18 +40,33 @@ def greedy_suppress(iou: jnp.ndarray, valid: jnp.ndarray, iou_threshold: float) 
     iou: (N, N) pairwise IoU of boxes sorted by DESCENDING score.
     valid: (N,) bool; invalid boxes are never kept and never suppress.
     Returns keep: (N,) bool with identical semantics to sequential greedy NMS.
+
+    Implementation: fixpoint self-suppression (the scheme TF's TPU NMS uses)
+    instead of an N-step sequential walk — N tiny loop iterations are
+    latency-bound on TPU (measured ~40% of the whole inference program at
+    N=512, batch 96). Iterate
+        alive_{t+1}(i) = valid(i) and not exists j<i: alive_t(j) and iou(j,i)>T
+    from alive_0 = valid. Box 0 is stable immediately, and if boxes <k are
+    stable after iteration t then box k is stable after t+1, so the loop
+    reaches the exact greedy fixpoint in at most `longest suppression chain`
+    iterations (3-6 in practice) of cheap (N, N) mask reductions.
     """
     n = iou.shape[0]
     idx = jnp.arange(n)
+    # overlap[j, i]: higher-ranked j would suppress i if j survives.
+    overlap = (iou > iou_threshold) & (idx[:, None] < idx[None, :])
 
-    def body(k, alive):
-        row = iou[k]
-        # If box k is still alive (and valid), suppress later boxes overlapping it.
-        suppress = (row > iou_threshold) & (idx > k) & alive[k]
-        return alive & ~suppress
+    def cond(state):
+        _, changed = state
+        return changed
 
-    alive0 = valid
-    alive = jax.lax.fori_loop(0, n, body, alive0)
+    def body(state):
+        alive, _ = state
+        suppressed = jnp.any(overlap & alive[:, None], axis=0)
+        new_alive = valid & ~suppressed
+        return new_alive, jnp.any(new_alive != alive)
+
+    alive, _ = jax.lax.while_loop(cond, body, (valid, jnp.asarray(True)))
     return alive
 
 

@@ -5,9 +5,24 @@ Replaces the reference's pytorch3d dependency
 Convention: real-first (w, x, y, z), matching pytorch3d / pyquaternion.
 All functions are batched over leading dimensions and jit/vmap-safe.
 """
+import jax
 import jax.numpy as jnp
 
 EPS = 1e-9
+
+
+def matmul3x3(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched (..., 3, 3) @ (..., 3, 3) as broadcast-multiply-reduce.
+
+    A dot_general with 3x3 contracting dims pads to the 128-lane MXU tile and
+    wastes >99% of it; the explicit broadcast form stays on the VPU.
+    """
+    return jnp.sum(a[..., :, :, None] * b[..., None, :, :], axis=-2)
+
+
+def matvec3(m: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Batched (..., 3, 3) @ (..., 3) in broadcast form (VPU, not MXU)."""
+    return jnp.sum(m * v[..., None, :], axis=-1)
 
 
 def quaternion_to_matrix(quat: jnp.ndarray) -> jnp.ndarray:
@@ -66,9 +81,13 @@ def matrix_to_quaternion(m: jnp.ndarray) -> jnp.ndarray:
     denom = 2.0 * jnp.maximum(q_abs, 0.1)  # floor matches pytorch3d's stabilization
     cand = cand / denom[..., None]
 
+    # Select the best candidate with a one-hot contraction: take_along_axis
+    # here is a last-axis gather that the TPU scalar core serializes
+    # (measured: a large share of the whole box-decode cost); the masked sum
+    # is pure VPU work.
     best = jnp.argmax(q_abs, axis=-1)
-    quat = jnp.take_along_axis(cand, best[..., None, None].repeat(4, axis=-1), axis=-2)
-    quat = jnp.squeeze(quat, axis=-2)
+    onehot = jax.nn.one_hot(best, 4, dtype=cand.dtype)  # (..., 4)
+    quat = jnp.sum(cand * onehot[..., None], axis=-2)
     return quat / jnp.maximum(jnp.linalg.norm(quat, axis=-1, keepdims=True), EPS)
 
 

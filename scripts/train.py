@@ -82,6 +82,15 @@ def main():
         )
 
     LOG.info("Devices: %s (process %d/%d)", jax.devices(), jax.process_index(), jax.process_count())
+    if cfg.SOLVER.get("SYNCBN_USE_LOCAL_WORKERS", False):
+        # Reference option (configs/common/optimizer.yaml:66-68): restrict
+        # SyncBN stat sync to machine-local process groups, a workaround for
+        # slow inter-node links. On a TPU mesh the BN-stat psum rides ICI and
+        # is negligible next to the gradient all-reduce, so stats stay
+        # globally synchronized; the flag is accepted for config parity.
+        LOG.warning("SOLVER.SYNCBN_USE_LOCAL_WORKERS requested: BN statistics "
+                    "sync globally over ICI on TPU (same training semantics, "
+                    "no local-group restriction).")
     register_datasets(cfg)
 
     output_dir = os.path.join(cfg.OUTPUT_ROOT, experiment or "default", time.strftime("%Y%m%d_%H%M%S"))
@@ -233,37 +242,47 @@ def _do_test_tta(cfg, model, variables, dataset_name, output_dir):
         sampler = InferenceSampler(len(dicts), jax.process_index(), jax.process_count())
     dicts = [dicts[i] for i in sampler]
 
-    def run_one(d):
-        image = read_image_bgr(d["file_name"]).astype(np.float32)
-        k = np.asarray(d["intrinsics"], np.float64).reshape(3, 3)
-        out = tta(image, k)
-        det = {"image_id": d["image_id"], "sample_id": d.get("sample_id"), **out}
-        if d.get("pose") is not None:
-            det["pose"] = d["pose"]
-        return det
+    def run_chunk(chunk):
+        """Batched TTA: one device call per (variant, size) bucket across the
+        whole chunk (models/tta.py infer_batch)."""
+        images = [read_image_bgr(d["file_name"]).astype(np.float32) for d in chunk]
+        ks = [np.asarray(d["intrinsics"], np.float64).reshape(3, 3) for d in chunk]
+        outs = tta.infer_batch(images, ks)
+        dets = []
+        for d, out in zip(chunk, outs):
+            det = {"image_id": d["image_id"], "sample_id": d.get("sample_id"), **out}
+            if d.get("pose") is not None:
+                det["pose"] = d["pose"]
+            dets.append(det)
+        return dets
 
+    chunk_size = max(group_size, int(cfg.TEST.IMS_PER_BATCH) // max(1, jax.process_count()))
+    chunk_size = max(group_size, (chunk_size // group_size) * group_size)
     if nuscenes:
         # Post-hoc 6-camera sample aggregation (nuscenes_dd3d_tta.py:57-73).
         from dd3d_tpu.models.cross_camera import get_group_idxs
         from dd3d_tpu.structures.pose import Pose
 
-        for g in range(0, len(dicts), group_size):
-            group = dicts[g : g + group_size]
-            dets = [run_one(d) for d in group]
-            if cfg.DD3D.INFERENCE.get("NUSC_SAMPLE_AGGREGATE", False):
-                group_idxs = get_group_idxs([d.get("sample_id") or "s" for d in dets], group_size)
-                poses = [
-                    Pose(wxyz=d["pose"]["wxyz"], tvec=d["pose"]["tvec"]) if d.get("pose") else Pose()
-                    for d in group
-                ]
-                dets = tta.aggregate_sample(dets, group_idxs, cfg.DD3D.NUM_CLASSES, poses)
+        for c in range(0, len(dicts), chunk_size):
+            chunk = dicts[c : c + chunk_size]
+            chunk_dets = run_chunk(chunk)
+            for g in range(0, len(chunk), group_size):
+                group = chunk[g : g + group_size]
+                dets = chunk_dets[g : g + group_size]
+                if cfg.DD3D.INFERENCE.get("NUSC_SAMPLE_AGGREGATE", False):
+                    group_idxs = get_group_idxs([d.get("sample_id") or "s" for d in dets], group_size)
+                    poses = [
+                        Pose(wxyz=d["pose"]["wxyz"], tvec=d["pose"]["tvec"]) if d.get("pose") else Pose()
+                        for d in group
+                    ]
+                    dets = tta.aggregate_sample(dets, group_idxs, cfg.DD3D.NUM_CLASSES, poses)
+                for ev in evaluators:
+                    ev.process(dets)
+    else:
+        for c in range(0, len(dicts), chunk_size):
+            dets = run_chunk(dicts[c : c + chunk_size])
             for ev in evaluators:
                 ev.process(dets)
-    else:
-        for d in dicts:
-            det = run_one(d)
-            for ev in evaluators:
-                ev.process([det])
     results = {}
     for ev in evaluators:
         r = ev.evaluate()

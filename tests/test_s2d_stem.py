@@ -1,0 +1,81 @@
+"""Equivalence oracle for the space-to-depth DLA stem (models/s2d.py).
+
+The s2d stem must be an EXACT rewrite: same param tree, same outputs (up to
+dtype rounding) in both eval and train mode, and the same BatchNorm batch
+statistics — so a checkpoint trained either way is interchangeable.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from dd3d_tpu.models.dla import DLA, BasicBlock
+
+
+def _models(norm="BN", dtype=jnp.float32):
+    kw = dict(
+        levels=[1, 1, 1, 2, 2, 1],
+        channels=[16, 32, 64, 128, 256, 512],
+        block=BasicBlock,
+        out_features=("level0", "level1", "level3", "level4", "level5"),
+        norm=norm,
+        dtype=dtype,
+    )
+    return DLA(s2d_stem=False, **kw), DLA(s2d_stem=True, **kw)
+
+
+def test_s2d_param_tree_identical():
+    plain, s2d = _models()
+    x = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    vp = jax.eval_shape(lambda: plain.init(jax.random.PRNGKey(0), x, train=False))
+    vs = jax.eval_shape(lambda: s2d.init(jax.random.PRNGKey(0), x, train=False))
+    flat_p = {"/".join(p): v.shape for p, v in jax.tree_util.tree_flatten_with_path(vp)[0] for p in [[str(k.key) for k in p]]}
+    flat_s = {"/".join(p): v.shape for p, v in jax.tree_util.tree_flatten_with_path(vs)[0] for p in [[str(k.key) for k in p]]}
+    assert flat_p == flat_s
+
+
+def test_s2d_stem_matches_plain_eval(rng):
+    plain, s2d = _models()
+    x = jnp.asarray(rng.rand(2, 64, 96, 3).astype(np.float32) * 255 - 127.0)
+    variables = plain.init(jax.random.PRNGKey(3), x, train=False)
+    # randomize BN stats so eval mode actually exercises them
+    variables = jax.tree.map(
+        lambda v: v + jnp.abs(jnp.asarray(np.random.RandomState(1).rand(*v.shape), v.dtype)) * 0.1,
+        variables,
+    )
+    out_p = plain.apply(variables, x, train=False)
+    out_s = s2d.apply(variables, x, train=False)
+    assert set(out_p) == set(out_s)
+    for k in out_p:
+        np.testing.assert_allclose(np.asarray(out_p[k]), np.asarray(out_s[k]), rtol=1e-4, atol=1e-4)
+
+
+def test_s2d_stem_matches_plain_train_and_stats(rng):
+    plain, s2d = _models()
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) * 255 - 127.0)
+    variables = plain.init(jax.random.PRNGKey(3), x, train=False)
+    out_p, mut_p = plain.apply(variables, x, train=True, mutable=["batch_stats"])
+    out_s, mut_s = s2d.apply(variables, x, train=True, mutable=["batch_stats"])
+    for k in out_p:
+        # train-mode BN reduces over a different fp32 summation order
+        # ((B,H,W) vs (N, phase)); tiny stat differences amplify through the
+        # normalization, so the tolerance is looser than eval's.
+        np.testing.assert_allclose(np.asarray(out_p[k]), np.asarray(out_s[k]), rtol=1e-2, atol=1e-3)
+    # the stem BN running stats must update identically
+    for name in ("base_layer", "level0_conv0", "level1_conv0"):
+        for stat in ("mean", "var"):
+            np.testing.assert_allclose(
+                np.asarray(mut_p["batch_stats"][name]["norm"][stat]),
+                np.asarray(mut_s["batch_stats"][name]["norm"][stat]),
+                rtol=1e-4, atol=1e-5,
+                err_msg=f"{name}/{stat}",
+            )
+
+
+def test_s2d_stem_matches_plain_frozenbn(rng):
+    plain, s2d = _models(norm="FrozenBN")
+    x = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32) * 10)
+    variables = plain.init(jax.random.PRNGKey(0), x, train=False)
+    out_p = plain.apply(variables, x, train=False)
+    out_s = s2d.apply(variables, x, train=False)
+    for k in out_p:
+        np.testing.assert_allclose(np.asarray(out_p[k]), np.asarray(out_s[k]), rtol=1e-4, atol=1e-4)
