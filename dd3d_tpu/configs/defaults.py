@@ -146,7 +146,11 @@ def get_cfg() -> CfgNode:
                 "TEST": {"NAME": "kitti_3d_val"},
             },
             "DATALOADER": {
-                "TRAIN": {"NUM_WORKERS": 8, "SAMPLER": "TrainingSampler", "REPEAT_THRESHOLD": 0.4},
+                # USE_PROCESS_POOL: map samples in spawned worker processes
+                # (the numpy-heavy transforms are GIL-bound in threads).
+                # "auto" = processes when the host has >= 4 cores.
+                "TRAIN": {"NUM_WORKERS": 8, "SAMPLER": "TrainingSampler",
+                          "REPEAT_THRESHOLD": 0.4, "USE_PROCESS_POOL": "auto"},
                 "TEST": {"NUM_WORKERS": 4},
             },
             "SOLVER": {

@@ -33,6 +33,36 @@ from dd3d_tpu.data.samplers import (
 
 LOG = logging.getLogger(__name__)
 
+# ---------------------------------------------------------------------------
+# Process-pool mapping: the numpy-heavy mapper transforms hold the GIL, so a
+# thread pool tops out around one core (~40 imgs/s/host measured, ROADMAP) —
+# not enough to feed a >500 imgs/s chip. Workers are spawned (not forked: the
+# parent holds live TPU runtime threads) and never import jax; state is sent
+# once via the initializer.
+# ---------------------------------------------------------------------------
+_POOL_STATE: dict = {}
+
+
+def _pool_worker_init(cfg, dataset_dicts, mapper_kwargs):
+    _POOL_STATE["cfg"] = cfg
+    _POOL_STATE["dicts"] = dataset_dicts
+    _POOL_STATE["mapper_kwargs"] = mapper_kwargs
+    _POOL_STATE["mappers"] = {}
+
+
+def _pool_map_sample(args):
+    index, seed, fixed_size = args
+    mappers = _POOL_STATE["mappers"]
+    if fixed_size not in mappers:
+        cfg = _POOL_STATE["cfg"]
+        if fixed_size is not None:
+            cfg = cfg.clone()
+            cfg.INPUT.RESIZE.MIN_SIZE_TRAIN = [fixed_size]
+        mappers[fixed_size] = DatasetMapper(
+            build_augmentation(cfg, is_train=True), is_train=True, **_POOL_STATE["mapper_kwargs"]
+        )
+    return mappers[fixed_size](_POOL_STATE["dicts"][index], np.random.RandomState(seed))
+
 
 def print_instances_class_histogram(dataset_dicts, class_names):
     counts = np.zeros(len(class_names), dtype=np.int64)
@@ -94,9 +124,23 @@ class TrainDataLoader:
         self.max_gt = cfg.TPU.MAX_GT_PER_IMAGE
         self.size_divisibility = size_divisibility
         self.num_workers = num_workers if num_workers is not None else cfg.DATALOADER.TRAIN.NUM_WORKERS
+        use_pp = cfg.DATALOADER.TRAIN.get("USE_PROCESS_POOL", "auto")
+        if use_pp == "auto":
+            # Spawned workers only pay off with real cores; on a 1-2 core box
+            # the spawn+pickle overhead loses to GIL-released cv2 threads.
+            import os
+
+            use_pp = (os.cpu_count() or 1) >= 4
+        self.use_processes = bool(use_pp) and self.num_workers > 0
         self.seed = seed
         self.min_sizes = list(cfg.INPUT.RESIZE.MIN_SIZE_TRAIN) if cfg.INPUT.AUG_ENABLED else []
         self.cfg = cfg
+        self._mapper_kwargs = dict(
+            box3d_on=tm.box3d_on,
+            depth_on=tm.depth_on,
+            nuscenes=cfg.MODEL.META_ARCHITECTURE == "NuscenesDD3D",
+            device_jitter_cfg=jitter_cfg,
+        )
 
     def __iter__(self) -> Iterator[tuple]:
         import jax
@@ -108,35 +152,46 @@ class TrainDataLoader:
         rng = np.random.RandomState(self.seed + 1)
         local_rng = np.random.RandomState(self.seed + 7919 * (jax.process_index() + 1))
         idx_iter = iter(self.sampler)
-        pool = ThreadPoolExecutor(max_workers=max(1, self.num_workers))
+        if self.use_processes:
+            import multiprocessing as mp
+            from concurrent.futures import ProcessPoolExecutor
+
+            pool = ProcessPoolExecutor(
+                max_workers=self.num_workers,
+                mp_context=mp.get_context("spawn"),
+                initializer=_pool_worker_init,
+                initargs=(self.cfg, self.dataset_dicts, self._mapper_kwargs),
+            )
+        else:
+            pool = ThreadPoolExecutor(max_workers=max(1, self.num_workers))
         prefetch: "queue.Queue" = queue.Queue(maxsize=4)
         stop = threading.Event()
 
-        def make_batch():
-            indices = [next(idx_iter) for _ in range(self.batch_size)]
-            # one resize scale per batch -> one static shape per batch
-            batch_rng = np.random.RandomState(rng.randint(2 ** 31))
-            if self.min_sizes:
-                fixed_size = int(batch_rng.choice(self.min_sizes))
+        def map_samples(indices, seeds, fixed_size):
+            if self.use_processes:
+                return list(pool.map(_pool_map_sample, [(i, s, fixed_size) for i, s in zip(indices, seeds)]))
+            if fixed_size is not None:
                 mapper_cfg = self.cfg.clone()
                 mapper_cfg.INPUT.RESIZE.MIN_SIZE_TRAIN = [fixed_size]
                 mapper = DatasetMapper(
-                    build_augmentation(mapper_cfg, is_train=True),
-                    is_train=True,
-                    box3d_on=self.mapper.box3d_on,
-                    depth_on=self.mapper.depth_on,
-                    nuscenes=self.mapper.nuscenes,
-                    device_jitter_cfg=self.mapper.device_jitter_cfg,
+                    build_augmentation(mapper_cfg, is_train=True), is_train=True, **self._mapper_kwargs
                 )
             else:
                 mapper = self.mapper
-            seeds = [int(local_rng.randint(2 ** 31)) for _ in indices]
-            samples = list(
+            return list(
                 pool.map(
                     lambda args: mapper(self.dataset_dicts[args[0]], np.random.RandomState(args[1])),
                     zip(indices, seeds),
                 )
             )
+
+        def make_batch():
+            indices = [next(idx_iter) for _ in range(self.batch_size)]
+            # one resize scale per batch -> one static shape per batch
+            batch_rng = np.random.RandomState(rng.randint(2 ** 31))
+            fixed_size = int(batch_rng.choice(self.min_sizes)) if self.min_sizes else None
+            seeds = [int(local_rng.randint(2 ** 31)) for _ in indices]
+            samples = map_samples(indices, seeds, fixed_size)
             return collate_batch(samples, self.max_gt, self.size_divisibility)
 
         def producer():
@@ -156,6 +211,7 @@ class TrainDataLoader:
                 yield item
         finally:
             stop.set()
+            pool.shutdown(wait=False, cancel_futures=True)
 
 
 class TestDataLoader:

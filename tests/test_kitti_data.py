@@ -152,3 +152,31 @@ def test_train_loader_batches(kitti_root):
     assert batch["gt_valid"].shape == (2, cfg.TPU.MAX_GT_PER_IMAGE)
     assert batch["gt_valid"].any()
     assert len(meta) == 2 and meta[0]["image_id"] is not None
+
+
+def test_train_loader_process_pool_matches_threads(kitti_root):
+    """The spawned-worker mapping path must be byte-identical to the thread
+    path for the same seed (same sampler stream, same per-sample seeds)."""
+    batches = {}
+    for use_pp in (False, True):
+        cfg = get_experiment_cfg("dd3d_kitti_dla34")
+        cfg.DATASET_ROOT = os.path.dirname(kitti_root)
+        cfg.SOLVER.IMS_PER_BATCH = 2
+        cfg.DATALOADER.TRAIN.NUM_WORKERS = 2
+        cfg.DATALOADER.TRAIN.USE_PROCESS_POOL = use_pp
+        cfg.INPUT.RESIZE.MIN_SIZE_TRAIN = [288]
+
+        from dd3d_tpu.data.catalog import register_datasets
+        from dd3d_tpu.data.build import build_train_dataloader
+
+        register_datasets(cfg)
+        it = iter(build_train_dataloader(cfg, seed=3))
+        batch, meta = next(it)
+        batches[use_pp] = (batch, meta)
+        del it
+    b0, m0 = batches[False]
+    b1, m1 = batches[True]
+    assert set(b0) == set(b1)
+    for k in b0:
+        np.testing.assert_array_equal(np.asarray(b0[k]), np.asarray(b1[k]), err_msg=k)
+    assert [m["image_id"] for m in m0] == [m["image_id"] for m in m1]
