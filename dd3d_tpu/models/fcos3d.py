@@ -198,13 +198,16 @@ def disentangled_box3d_loss(
 def gather_per_class(pred_flat: jnp.ndarray, labels: jnp.ndarray, comp_dim: int, num_classes: int) -> jnp.ndarray:
     """(B, P, comp_dim * C) -> (B, P, comp_dim) selecting each location's class.
 
-    Mirrors the torch.gather class selection in fcos3d.py:258-263.
+    Mirrors the torch.gather class selection in fcos3d.py:258-263, expressed
+    as a one-hot contraction: a last-axis `take_along_axis` with per-location
+    indices lowers to a serialized scalar-core gather on TPU (the same
+    pattern cost 25 ms/level in the decode path), while the contraction is a
+    dense VPU/MXU op.
     """
     b, p, _ = pred_flat.shape
     r = pred_flat.reshape(b, p, comp_dim, num_classes)
-    idx = labels[..., None, None]
-    idx = jnp.broadcast_to(idx, (b, p, comp_dim, 1))
-    return jnp.take_along_axis(r, idx, axis=-1)[..., 0]
+    onehot = jax.nn.one_hot(labels, num_classes, dtype=r.dtype)  # (B, P, C)
+    return jnp.einsum("bpcn,bpn->bpc", r, onehot)
 
 
 def fcos3d_loss(
@@ -236,7 +239,13 @@ def fcos3d_loss(
         size_p = gather_per_class(size_flat, labels_safe, 3, num_classes)
         conf_p = gather_per_class(conf_flat, labels_safe, 1, num_classes)[..., 0]
 
-    canon = canon_box_sizes[labels_safe]  # (B, P, 3)
+    # One-hot contraction for the canonical-size table lookup (same scalar-
+    # core-gather avoidance as gather_per_class above).
+    canon = jnp.einsum(
+        "bpn,nc->bpc",
+        jax.nn.one_hot(labels_safe, canon_box_sizes.shape[0], dtype=jnp.float32),
+        canon_box_sizes.astype(jnp.float32),
+    )  # (B, P, 3)
     b, p = labels.shape
     loc = jnp.broadcast_to(locations[None], (b, p, 2))
     inv_k = jnp.broadcast_to(inv_intrinsics[:, None], (b, p, 3, 3))

@@ -72,8 +72,15 @@ def nuscenes_dd3d_losses(cfg, outputs, batch, strides=None):
 
     pos_mask = targets["pos_mask"]
     matched = jnp.maximum(targets["target_inds"], 0)
-    attr_tgt = jnp.take_along_axis(batch["gt_attributes"], matched, axis=1)
-    speed_tgt = jnp.take_along_axis(batch["gt_speeds"], matched, axis=1)
+    # Matched-GT lookups as one-hot contractions over G (per-(b, p) gathers
+    # serialize on the TPU scalar core; see prepare_targets.py).
+    onehot_g = jax.nn.one_hot(matched, batch["gt_attributes"].shape[1], dtype=jnp.float32)
+    attr_tgt = jnp.einsum("bpg,bg->bp", onehot_g, batch["gt_attributes"].astype(jnp.float32)).astype(jnp.int32)
+    # NaN GT speeds must survive the contraction (NaN * 0 = NaN), so select
+    # the finiteness mask and the zero-filled value separately.
+    gt_speeds = batch["gt_speeds"]
+    speed_fin = jnp.einsum("bpg,bg->bp", onehot_g, jnp.isfinite(gt_speeds).astype(jnp.float32)) > 0.5
+    speed_tgt_val = jnp.einsum("bpg,bg->bp", onehot_g, jnp.where(jnp.isfinite(gt_speeds), gt_speeds, 0.0))
 
     weights = extra["centerness_targets"]  # already pos-masked
 
@@ -81,14 +88,14 @@ def nuscenes_dd3d_losses(cfg, outputs, batch, strides=None):
     attr_valid = (attr_tgt < num_attr - 1) & pos_mask
     attr_safe = jnp.where(attr_valid, attr_tgt, 0)
     logp = jax.nn.log_softmax(attr_flat, axis=-1)
-    xent = -jnp.take_along_axis(logp, attr_safe[..., None], axis=-1)[..., 0]
+    xent = -jnp.einsum("bpa,bpa->bp", logp, jax.nn.one_hot(attr_safe, num_attr, dtype=logp.dtype))
     attr_w = weights * attr_valid.astype(jnp.float32)
     attr_denom = jnp.maximum(jnp.sum(attr_w), 1e-6)
     losses["loss_attr"] = cfg.DD3D.NUSC.LOSS.WEIGHT_ATTR * jnp.sum(xent * attr_w) / attr_denom
 
     # Speed: NaN GT speeds are invalid (nuscenes_dd3d.py:245-247).
-    speed_valid = jnp.isfinite(speed_tgt) & pos_mask
-    sl1 = smooth_l1_loss(speed_flat, jnp.where(speed_valid, speed_tgt, 0.0), beta=0.05)
+    speed_valid = speed_fin & pos_mask
+    sl1 = smooth_l1_loss(speed_flat, jnp.where(speed_valid, speed_tgt_val, 0.0), beta=0.05)
     speed_w = weights * speed_valid.astype(jnp.float32)
     speed_denom = jnp.maximum(jnp.sum(speed_w), 1e-6)
     losses["loss_speed"] = cfg.DD3D.NUSC.LOSS.WEIGHT_SPEED * jnp.sum(sl1 * speed_w) / speed_denom

@@ -18,6 +18,7 @@ can substitute predicted components directly.
 """
 from typing import Dict, List, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from dd3d_tpu.ops.locations import compute_feature_locations
@@ -104,15 +105,18 @@ def prepare_targets(
 
     pos_mask = min_area < INF
 
-    labels = jnp.take_along_axis(gt_classes, matched, axis=1)
+    # All matched-GT lookups as one-hot contractions over the (small) G axis:
+    # per-(b, p) take_along_axis gathers serialize on the TPU scalar core,
+    # while these are dense multiply-reduce ops on the VPU.
+    onehot_g = jax.nn.one_hot(matched, gt_valid.shape[1], dtype=jnp.float32)  # (B, P, G)
+
+    labels = jnp.einsum("bpg,bg->bp", onehot_g, gt_classes.astype(jnp.float32)).astype(jnp.int32)
     labels = jnp.where(pos_mask, labels, num_classes)
 
-    box2d_reg = jnp.take_along_axis(ltrb, matched[:, :, None, None].repeat(4, -1), axis=2)[:, :, 0]
+    box2d_reg = jnp.einsum("bpg,bpgc->bpc", onehot_g, ltrb)
     box2d_reg = jnp.where(pos_mask[..., None], box2d_reg, 0.0)
 
-    box3d = jnp.take_along_axis(
-        gt_boxes3d, jnp.broadcast_to(matched[..., None], matched.shape + (10,)), axis=1
-    )
+    box3d = jnp.einsum("bpg,bgc->bpc", onehot_g, gt_boxes3d)
     # Neutral padding for negatives: identity quat keeps corner math finite.
     neutral = jnp.asarray([1.0, 0, 0, 0, 0, 0, 1.0, 1.0, 1.0, 1.0], dtype=jnp.float32)
     box3d = jnp.where(pos_mask[..., None], box3d, neutral)
