@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 import flax
@@ -8,6 +9,7 @@ from dd3d_tpu.models import build_feature_extractor
 from dd3d_tpu.utils.convert_checkpoint import convert_torch_state_dict
 
 
+@pytest.mark.slow
 def test_vovnet_name_translation():
     cfg = get_cfg()
     cfg.FE.BUILDER = "build_fcos_vovnet_fpn_backbone_p6"

@@ -5,6 +5,7 @@ dtype rounding) in both eval and train mode, and the same BatchNorm batch
 statistics — so a checkpoint trained either way is interchangeable.
 """
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -33,6 +34,7 @@ def test_s2d_param_tree_identical():
     assert flat_p == flat_s
 
 
+@pytest.mark.slow
 def test_s2d_stem_matches_plain_eval(rng):
     plain, s2d = _models()
     x = jnp.asarray(rng.rand(2, 64, 96, 3).astype(np.float32) * 255 - 127.0)
@@ -49,6 +51,7 @@ def test_s2d_stem_matches_plain_eval(rng):
         np.testing.assert_allclose(np.asarray(out_p[k]), np.asarray(out_s[k]), rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_s2d_stem_matches_plain_train_and_stats(rng):
     plain, s2d = _models()
     x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) * 255 - 127.0)
@@ -71,6 +74,7 @@ def test_s2d_stem_matches_plain_train_and_stats(rng):
             )
 
 
+@pytest.mark.slow
 def test_s2d_stem_matches_plain_frozenbn(rng):
     plain, s2d = _models(norm="FrozenBN")
     x = jnp.asarray(rng.rand(1, 32, 32, 3).astype(np.float32) * 10)
