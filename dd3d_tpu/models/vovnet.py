@@ -137,17 +137,27 @@ class VoVNet(nn.Module):
             stage_num = i + 2
             name = f"stage{stage_num}"
             if stage_num != 2:
-                # ceil-mode 3x3/2 maxpool (vovnet.py:246).
-                x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+                # torch's MaxPool2d(3, 2, ceil_mode=True) (vovnet.py:246):
+                # windows start at row/col 0 and the input is implicitly
+                # padded at the BOTTOM/RIGHT only when (dim - 3) is odd.
+                # Symmetric (1, 1) padding would shift every window by one
+                # pixel and break checkpoint parity.
+                ph = (x.shape[1] - 3) % 2
+                pw = (x.shape[2] - 3) % 2
+                x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((0, ph), (0, pw)))
             blocks = spec["block_per_stage"][i]
             for b in range(blocks):
-                # eSE only on the last block of each stage (vovnet.py:250-268).
-                use_ese = spec["eSE"] and (b == blocks - 1)
+                # The reference constructs AND applies eSE in every OSA block
+                # regardless of the SE flag (the flag is dead code:
+                # _OSA_module.__init__ always builds self.ese and forward
+                # always calls it, vovnet.py:216-236). Gating it per-block
+                # would drop ese.fc tensors from every non-last block of the
+                # multi-block V-39/57/99 stages and break checkpoint parity.
                 x = OSAModule(
                     spec["stage_conv_ch"][i],
                     spec["stage_out_ch"][i],
                     spec["layer_per_block"],
-                    use_ese=use_ese,
+                    use_ese=True,
                     identity=(b > 0),
                     depthwise=spec.get("dw", False),
                     norm=self.norm,

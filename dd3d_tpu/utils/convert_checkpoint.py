@@ -162,7 +162,7 @@ def convert_torch_state_dict(
     # FPN laterals reference trunk stages by stride digit; build digit->feature
     # name map from the actual tree (fpn_lateral_#3 -> fpn_lateral_level3 or
     # fpn_lateral_stage3).
-    backbone = params.get("backbone", {})
+    backbone = params.get("backbone") or params.get("base", {}).get("backbone", {})
     digit_map = {}
     for key in backbone:
         m = re.match(r"fpn_(lateral|output)_([a-z]+)(\d)$", key)
@@ -198,6 +198,13 @@ def convert_torch_state_dict(
                 node[leaf_name] = value.astype(np.asarray(target).dtype if hasattr(target, "dtype") else np.float32)
                 placed = True
                 break
+        if not placed and re.search(r"\b(scale|offset)_[a-z0-9_]*\d+$", path):
+            # The reference sizes scales_depth/offsets_depth by the number of
+            # dataset depth-stat entries, not FPN levels (fcos3d.py:136-139):
+            # the nuScenes V99 checkpoint carries a 5th depth Scale/Offset its
+            # own forward never indexes. Unused trailing entries are skipped.
+            LOG.info("Skipping unused per-level scale/offset %s", key)
+            continue
         (matched if placed else missed).append(key)
 
     if missed:

@@ -192,12 +192,24 @@ class LastLevelP6P7(nn.Module):
         return [p6, p7]
 
 
+class LastLevelP6(nn.Module):
+    """Single extra level from p5 (vovnet builder, dla.py:486-506)."""
+
+    def __init__(self, in_channels, out_channels):
+        super().__init__()
+        self.p6 = nn.Conv2d(in_channels, out_channels, 3, 2, 1)
+
+    def forward(self, p5):
+        return [self.p6(p5)]
+
+
 class FPN(nn.Module):
-    def __init__(self, bottom_up, in_features, in_channels, out_channels):
+    def __init__(self, bottom_up, in_features, in_channels, out_channels,
+                 strides=None, top="p6p7"):
         super().__init__()
         self.bottom_up = bottom_up
         self.in_features = list(in_features)
-        strides = {"level3": 8, "level4": 16, "level5": 32}
+        strides = strides or {"level3": 8, "level4": 16, "level5": 32}
         for f in self.in_features:
             s = strides[f]
             idx = s.bit_length() - 1
@@ -205,8 +217,10 @@ class FPN(nn.Module):
                             Conv2dN(in_channels[f], out_channels, 1, bias=False, norm=_bn(out_channels)))
             self.add_module(f"fpn_output{idx}",
                             Conv2dN(out_channels, out_channels, 3, padding=1, bias=False, norm=_bn(out_channels)))
-        self.top_block = LastLevelP6P7(out_channels, out_channels)
+        self.top_block = (LastLevelP6P7(out_channels, out_channels) if top == "p6p7"
+                          else LastLevelP6(out_channels, out_channels))
         self._strides = strides
+        self._top = top
 
     def forward(self, x):
         feats = self.bottom_up(x)
@@ -219,8 +233,11 @@ class FPN(nn.Module):
                 lateral = lateral + F.interpolate(prev, scale_factor=2, mode="nearest")
             prev = lateral
             results[f"p{idx}"] = getattr(self, f"fpn_output{idx}")(lateral)
-        p6, p7 = self.top_block(results["p5"])
-        results["p6"], results["p7"] = p6, p7
+        if self._top == "p6p7":
+            p6, p7 = self.top_block(results["p5"])
+            results["p6"], results["p7"] = p6, p7
+        else:
+            results["p6"] = self.top_block(results["p5"])[0]
         return results
 
 
@@ -277,6 +294,9 @@ class FCOS3DHead(nn.Module):
         self.scales_conf = nn.ModuleList([Scale(1.0) for _ in strides])
         self.scales_depth = nn.ModuleList([Scale(s * depth_scale_init_factor) for s in std_depth])
         self.offsets_depth = nn.ModuleList([Offset(m) for m in mean_depth])
+        # real checkpoints carry these buffers (fcos3d.py:67-68)
+        self.register_buffer("mean_depth_per_level", torch.tensor(list(mean_depth)))
+        self.register_buffer("std_depth_per_level", torch.tensor(list(std_depth)))
 
     def forward(self, features):
         quat, ctr, depth, size, conf = [], [], [], [], []
@@ -288,6 +308,111 @@ class FCOS3DHead(nn.Module):
             size.append(self.scales_size[l](self.box3d_size[0](x)))
             conf.append(self.scales_conf[l](self.box3d_conf[0](x)))
         return quat, ctr, depth, size, conf
+
+
+# --------------------------------------------------------------------------
+# VoVNet V2 trunk with reference state-dict names (vovnet.py:100-330)
+# --------------------------------------------------------------------------
+
+from collections import OrderedDict  # noqa: E402
+
+
+def _conv3x3_named(in_ch, out_ch, module_name, postfix, stride=1):
+    return [
+        (f"{module_name}_{postfix}/conv",
+         nn.Conv2d(in_ch, out_ch, 3, stride=stride, padding=1, bias=False)),
+        (f"{module_name}_{postfix}/norm", _bn(out_ch)),
+        (f"{module_name}_{postfix}/relu", nn.ReLU(inplace=True)),
+    ]
+
+
+def _conv1x1_named(in_ch, out_ch, module_name, postfix):
+    return [
+        (f"{module_name}_{postfix}/conv", nn.Conv2d(in_ch, out_ch, 1, bias=False)),
+        (f"{module_name}_{postfix}/norm", _bn(out_ch)),
+        (f"{module_name}_{postfix}/relu", nn.ReLU(inplace=True)),
+    ]
+
+
+class Hsigmoid(nn.Module):
+    def forward(self, x):
+        return F.relu6(x + 3.0) / 6.0
+
+
+class TorchESE(nn.Module):
+    def __init__(self, channel):
+        super().__init__()
+        self.avg_pool = nn.AdaptiveAvgPool2d(1)
+        self.fc = nn.Conv2d(channel, channel, 1)
+        self.hsigmoid = Hsigmoid()
+
+    def forward(self, x):
+        return x * self.hsigmoid(self.fc(self.avg_pool(x)))
+
+
+class TorchOSA(nn.Module):
+    """Reference _OSA_module (vovnet.py:188-238). NOTE: ese is applied in
+    every block — the reference's SE flag is dead code."""
+
+    def __init__(self, in_ch, stage_ch, concat_ch, layer_per_block, module_name, identity=False):
+        super().__init__()
+        self.identity = identity
+        self.layers = nn.ModuleList()
+        ch = in_ch
+        for i in range(layer_per_block):
+            self.layers.append(nn.Sequential(OrderedDict(_conv3x3_named(ch, stage_ch, module_name, i))))
+            ch = stage_ch
+        self.concat = nn.Sequential(
+            OrderedDict(_conv1x1_named(in_ch + layer_per_block * stage_ch, concat_ch, module_name, "concat")))
+        self.ese = TorchESE(concat_ch)
+
+    def forward(self, x):
+        identity_feat = x
+        outputs = [x]
+        for layer in self.layers:
+            x = layer(x)
+            outputs.append(x)
+        xt = self.ese(self.concat(torch.cat(outputs, 1)))
+        if self.identity:
+            xt = xt + identity_feat
+        return xt
+
+
+class TorchVoVNet(nn.Module):
+    """Reference VoVNet trunk (vovnet.py:276-330); non-depthwise presets."""
+
+    def __init__(self, stem_ch, stage_conv_ch, stage_out_ch, block_per_stage,
+                 layer_per_block, out_features=("stage3", "stage4", "stage5")):
+        super().__init__()
+        stem = _conv3x3_named(3, stem_ch[0], "stem", "1", 2)
+        stem += _conv3x3_named(stem_ch[0], stem_ch[1], "stem", "2", 1)
+        stem += _conv3x3_named(stem_ch[1], stem_ch[2], "stem", "3", 2)
+        self.add_module("stem", nn.Sequential(OrderedDict(stem)))
+        in_ch_list = [stem_ch[2]] + list(stage_out_ch[:-1])
+        for i in range(4):
+            n = i + 2
+            stage = nn.Sequential()
+            if n != 2:
+                stage.add_module("Pooling", nn.MaxPool2d(kernel_size=3, stride=2, ceil_mode=True))
+            for b in range(block_per_stage[i]):
+                name = f"OSA{n}_{b + 1}"
+                stage.add_module(name, TorchOSA(
+                    in_ch_list[i] if b == 0 else stage_out_ch[i],
+                    stage_conv_ch[i], stage_out_ch[i], layer_per_block, name,
+                    identity=(b > 0)))
+            self.add_module(f"stage{n}", stage)
+        self._out_features = out_features
+
+    def forward(self, x):
+        outputs = {}
+        x = self.stem(x)
+        if "stem" in self._out_features:
+            outputs["stem"] = x
+        for n in range(2, 6):
+            x = getattr(self, f"stage{n}")(x)
+            if f"stage{n}" in self._out_features:
+                outputs[f"stage{n}"] = x
+        return outputs
 
 
 class TorchDD3D(nn.Module):
@@ -314,6 +439,43 @@ class TorchDD3D(nn.Module):
         return {
             "logits": logits, "box2d_reg": box2d, "centerness": ctr,
             "quat": quat, "proj_ctr": pctr, "depth": depth, "size": size, "conf": conf,
+        }
+
+
+class TorchNuscenesVoVNetDD3D(nn.Module):
+    """Reference-named NuscenesDD3D with a VoVNet-FPN(P6) backbone — the
+    dd3d_nusc_v99 graph shape (tridet/modeling/dd3d/nuscenes_dd3d.py:299-311,
+    feature_extractor/vovnet.py builders). `vovnet_spec` selects the preset so
+    parity tests can use a lighter multi-block preset than V-99."""
+
+    def __init__(self, vovnet_spec, num_classes, mean_depth, std_depth, max_attr=4):
+        super().__init__()
+        strides = [8, 16, 32, 64]
+        trunk = TorchVoVNet(
+            vovnet_spec["stem"], vovnet_spec["stage_conv_ch"], vovnet_spec["stage_out_ch"],
+            vovnet_spec["block_per_stage"], vovnet_spec["layer_per_block"],
+        )
+        ch = {f"stage{i + 2}": vovnet_spec["stage_out_ch"][i] for i in range(4)}
+        self.backbone = FPN(trunk, ["stage3", "stage4", "stage5"], ch, 256,
+                            strides={"stage3": 8, "stage4": 16, "stage5": 32}, top="p6")
+        self.fcos2d_head = FCOS2DHead(num_classes, 256, strides)
+        self.fcos3d_head = FCOS3DHead(num_classes, 256, strides, mean_depth, std_depth)
+        self.attr_logits = nn.Conv2d(256, max_attr, 3, 1, 1)
+        self.speed = nn.Conv2d(256, 1, 3, 1, 1)
+        self.register_buffer("pixel_mean", torch.tensor([103.530, 116.280, 123.675]).view(1, 3, 1, 1))
+        self.register_buffer("pixel_std", torch.tensor([57.375, 57.120, 58.395]).view(1, 3, 1, 1))
+
+    def forward(self, images_nchw):
+        x = (images_nchw - self.pixel_mean) / self.pixel_std
+        feats = self.backbone(x)
+        features = [feats[f] for f in ("p3", "p4", "p5", "p6")]
+        logits, box2d, ctr, cls_tower_out = self.fcos2d_head(features)
+        quat, pctr, depth, size, conf = self.fcos3d_head(features)
+        return {
+            "logits": logits, "box2d_reg": box2d, "centerness": ctr,
+            "quat": quat, "proj_ctr": pctr, "depth": depth, "size": size, "conf": conf,
+            "attr_logits": [self.attr_logits(c) for c in cls_tower_out],
+            "speed": [F.relu(self.speed(c)) for c in cls_tower_out],
         }
 
 
