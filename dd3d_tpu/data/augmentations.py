@@ -55,6 +55,16 @@ class ResizeTransform(Transform):
         self.interp = interp
 
     def apply_image(self, img):
+        # fvcore's ResizeTransform routes uint8 images through PIL's
+        # BILINEAR (antialiased on downscale since Pillow 9) — cv2's
+        # INTER_LINEAR uses a different kernel, which would shift pixel
+        # values and therefore AP vs the reference. Per-channel resize is
+        # channel-order agnostic, so BGR arrays are fine.
+        if img.dtype == np.uint8 and self.interp == cv2.INTER_LINEAR and img.ndim == 3:
+            from PIL import Image
+
+            pil = Image.fromarray(img)
+            return np.asarray(pil.resize((self.new_w, self.new_h), Image.BILINEAR))
         return cv2.resize(img, (self.new_w, self.new_h), interpolation=self.interp)
 
     def apply_boxes2d(self, boxes):

@@ -138,7 +138,9 @@ class DD3DWithTTA:
                     tfms.append(HFlipTransform(nw))
                 for bi, i in enumerate(idxs):
                     sample = {
-                        "image": images[i].astype(np.float32),
+                        # keep uint8 through the resize: the uint8 path uses
+                        # PIL BILINEAR like the reference's TTA mapper
+                        "image": images[i],
                         "intrinsics": intrinsics_list[i].astype(np.float64),
                         "boxes2d": np.zeros((0, 4), np.float32),
                         "boxes3d": np.zeros((0, 10)),

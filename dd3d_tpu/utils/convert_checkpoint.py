@@ -64,6 +64,8 @@ def _translate_name(key: str):
         sm = re.match(r"^(.*)\.scales?_([a-z0-9_]+)\.(\d+)\.scale$", k)
         if sm:
             head, name, idx = sm.group(1), sm.group(2), sm.group(3)
+            if name == "reg":  # FCOS2D _VERSION=v1 names (fcos2d.py:101-103)
+                name = "box2d_reg"
             return f"{head}.scale_{name}{idx}", "scalar_scale"
         om = re.match(r"^(.*)\.offsets_([a-z0-9_]+)\.(\d+)\.bias$", k)
         if om:
