@@ -34,9 +34,9 @@ def main():
     model = build_model(cfg)
 
     # KITTI eval resolution: min side 384 -> (384, 1242) padded to /128.
-    # Large batch amortizes per-call dispatch/latency overheads (measured:
-    # 221 imgs/s @16, 313 @48, 346 @96 on v5e).
-    b, h, w = 96, 384, 1280
+    # Large batch amortizes per-call dispatch/latency overheads (measured
+    # round 2: 543 imgs/s @96, 583 @128 on v5e).
+    b, h, w = 128, 384, 1280
     rng = np.random.RandomState(0)
     images = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
     intrinsics = jnp.asarray(
