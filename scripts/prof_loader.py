@@ -1,4 +1,7 @@
 """Host input-pipeline throughput: thread pool vs process pool mapping."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+_sys.path.insert(1, _os.path.dirname(_os.path.abspath(__file__)))
 import sys, time
 import numpy as np
 
@@ -37,6 +40,3 @@ def main():
 if __name__ == "__main__":
     main()
 
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-_sys.path.insert(1, _os.path.dirname(_os.path.abspath(__file__)))

@@ -1,4 +1,7 @@
 """Bisect train-step time: train-mode forward, +loss, +grad, full step."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+_sys.path.insert(1, _os.path.dirname(_os.path.abspath(__file__)))
 import json, sys, time
 import numpy as np
 import jax, jax.numpy as jnp
@@ -63,6 +66,3 @@ print(json.dumps({
     "full_step_ms": bench(lambda s, bt: step(s, bt)[1]["total_loss"], state, batch),
 }))
 
-import os as _os, sys as _sys
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
-_sys.path.insert(1, _os.path.dirname(_os.path.abspath(__file__)))
