@@ -27,9 +27,25 @@ from dd3d_tpu.data.catalog import DatasetCatalog, MetadataCatalog
 LOG = logging.getLogger(__name__)
 
 
+# One parse per manifest per process: register_json_datasets needs the
+# header (name/metadata) and the thunk needs the dicts — without a cache a
+# large materialized manifest would be fully json-parsed twice (and once
+# per register_datasets call even when never used).
+_MANIFEST_CACHE: dict = {}
+
+
+def _load_manifest(path: str) -> dict:
+    key = (path, os.path.getmtime(path))
+    if key not in _MANIFEST_CACHE:
+        while len(_MANIFEST_CACHE) >= 4:  # bound live manifests
+            _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+        with open(path) as f:
+            _MANIFEST_CACHE[key] = json.load(f)
+    return _MANIFEST_CACHE[key]
+
+
 def load_json_dataset(path: str) -> List[dict]:
-    with open(path) as f:
-        manifest = json.load(f)
+    manifest = _load_manifest(path)
     base = os.path.dirname(os.path.abspath(path))
     dicts = manifest["dicts"]
     for d in dicts:
@@ -51,8 +67,7 @@ def register_json_datasets(cfg) -> List[str]:
             continue
         path = os.path.join(root, fname)
         try:
-            with open(path) as f:
-                manifest = json.load(f)
+            manifest = _load_manifest(path)
         except (OSError, json.JSONDecodeError) as e:
             LOG.warning("Skipping unreadable dataset manifest %s: %s", path, e)
             continue

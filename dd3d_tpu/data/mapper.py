@@ -151,10 +151,15 @@ def collate_batch(samples: List[dict], max_gt: int, size_divisibility: int = 128
     color_jitter = np.ones((b, 3), dtype=np.float32)
     # Camera->global poses as device arrays: needed by the in-graph
     # cross-camera sample aggregation (ops/sample_bev_nms.py).
-    has_pose = samples[0].get("pose") is not None
+    # Presence is decided over the WHOLE batch, not samples[0]: a mixed
+    # batch would otherwise KeyError (first sample has the field) or
+    # silently drop GT (first sample lacks it). Missing poses fall back to
+    # identity; missing depth maps stay all-zero, which the dense-depth
+    # loss masks out (depth <= 0 is invalid, dense_depth_loss.py:28-36).
+    has_pose = any(s.get("pose") is not None for s in samples)
     pose_quat = np.tile(np.array([1.0, 0, 0, 0], np.float32), (b, 1))
     pose_tvec = np.zeros((b, 3), dtype=np.float32)
-    has_depth = samples[0].get("depth") is not None
+    has_depth = any(s.get("depth") is not None for s in samples)
     depth = np.zeros((b, ph, pw), dtype=np.float32) if has_depth else None
 
     for i, s in enumerate(samples):
@@ -178,11 +183,11 @@ def collate_batch(samples: List[dict], max_gt: int, size_divisibility: int = 128
             gt_speeds[i, :n] = s["gt_speeds"][:n]
         if has_jitter:
             color_jitter[i] = s["color_jitter"]
-        if has_pose:
+        if has_pose and s.get("pose") is not None:
             p = s["pose"]
             pose_quat[i] = np.asarray(p["wxyz"], np.float32)
             pose_tvec[i] = np.asarray(p["tvec"], np.float32)
-        if has_depth:
+        if has_depth and s.get("depth") is not None:
             dh, dw = s["depth"].shape[:2]
             depth[i, :dh, :dw] = s["depth"]
 

@@ -197,17 +197,27 @@ class COCO2DEvaluator:
             }
             img_ids = gt_imgs.keys() | dt_imgs.keys()
             for area, rng in AREA_RANGES.items():
-                for md in MAX_DETS:
-                    if area != "all" and md != 100:
-                        continue  # COCO summary only uses maxDets=100 off-"all"
-                    per_image = []
-                    for img in img_ids:
-                        gts = gt_imgs.get(img, np.zeros((0, 4)))
-                        boxes, scr = dt_imgs.get(img, (np.zeros((0, 4)), np.zeros((0,))))
-                        per_image.append(_match_image(boxes, scr, gts, rng, md))
-                    acc = _accumulate(per_image, md)
-                    if acc is not None:
-                        stats.setdefault((area, md), {})[c] = acc
+                # Match ONCE at maxDets=100: dets enter greedy matching in
+                # score order, so the maxDets=k result is exactly the
+                # k-prefix of the maxDets=100 match (same trick as
+                # pycocotools, which matches once and slices).
+                per_image = []
+                for img in img_ids:
+                    gts = gt_imgs.get(img, np.zeros((0, 4)))
+                    boxes, scr = dt_imgs.get(img, (np.zeros((0, 4)), np.zeros((0,))))
+                    per_image.append(_match_image(boxes, scr, gts, rng, 100))
+                acc = _accumulate(per_image, 100)
+                if acc is not None:
+                    stats.setdefault((area, 100), {})[c] = acc
+                if area == "all":
+                    for md in MAX_DETS:
+                        if md == 100:
+                            continue
+                        sliced = [(s[:md], m[:, :md], ig[:, :md], npig)
+                                  for (s, m, ig, npig) in per_image]
+                        acc = _accumulate(sliced, md)
+                        if acc is not None:
+                            stats.setdefault(("all", md), {})[c] = acc
 
         def mean_ap(area, md, iou_idx=None):
             per_cls = stats.get((area, md), {})

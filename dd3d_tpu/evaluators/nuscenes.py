@@ -113,12 +113,21 @@ class NuscenesEvaluator:
             self._results = defaultdict(list, gather_dict(dict(self._results)))
 
         os.makedirs(self._output_dir, exist_ok=True)
+
+        def top500(entries):
+            # nuScenes caps 500 dets/sample; keep the BEST by score — a
+            # positional v[:500] would drop whole cameras in insertion order
+            # when aggregation is off (6 x POST_NMS_TOPK can exceed 500).
+            if len(entries) <= 500:
+                return entries
+            return sorted(entries, key=lambda e: -e["detection_score"])[:500]
+
         submission = {
             "meta": {
                 "use_camera": True, "use_lidar": False, "use_radar": False,
                 "use_map": False, "use_external": False,
             },
-            "results": {k: v[:500] for k, v in self._results.items()},  # nuScenes cap
+            "results": {k: top500(v) for k, v in self._results.items()},
         }
         path = os.path.join(self._output_dir, "nusc_submission.json")
         with open(path, "w") as f:
@@ -162,7 +171,10 @@ class NuscenesEvaluator:
             if tok not in ego_by_sample:
                 pose = d["pose"]
                 ego_by_sample[tok] = list(pose["tvec"][:2]) if isinstance(pose, dict) else pose.tvec[:2].tolist()
-        preds = preds_from_submission({k: v[:500] for k, v in self._results.items()}, ego_by_sample)
+        preds = preds_from_submission(
+            {k: sorted(v, key=lambda e: -e["detection_score"])[:500] for k, v in self._results.items()},
+            ego_by_sample,
+        )
         # restrict GT to predicted samples, like the reference's patched
         # DetectionEval (tridet/evaluators/nuscenes_evaluator.py:73-128)
         gt = {tok: gt.get(tok, []) for tok in preds}

@@ -207,7 +207,10 @@ def gather_per_class(pred_flat: jnp.ndarray, labels: jnp.ndarray, comp_dim: int,
     b, p, _ = pred_flat.shape
     r = pred_flat.reshape(b, p, comp_dim, num_classes)
     onehot = jax.nn.one_hot(labels, num_classes, dtype=r.dtype)  # (B, P, C)
-    return jnp.einsum("bpcn,bpn->bpc", r, onehot)
+    # multiply-reduce, NOT einsum: a dot_general at default TPU matmul
+    # precision truncates fp32 operands to bf16 (0.4% value error); the
+    # broadcast-multiply VPU reduce is exact and just as fast at this size.
+    return jnp.sum(r * onehot[:, :, None, :], axis=-1)
 
 
 def fcos3d_loss(
@@ -241,11 +244,10 @@ def fcos3d_loss(
 
     # One-hot contraction for the canonical-size table lookup (same scalar-
     # core-gather avoidance as gather_per_class above).
-    canon = jnp.einsum(
-        "bpn,nc->bpc",
-        jax.nn.one_hot(labels_safe, canon_box_sizes.shape[0], dtype=jnp.float32),
-        canon_box_sizes.astype(jnp.float32),
-    )  # (B, P, 3)
+    canon_oh = jax.nn.one_hot(labels_safe, canon_box_sizes.shape[0], dtype=jnp.float32)
+    canon = jnp.sum(
+        canon_oh[..., None] * canon_box_sizes.astype(jnp.float32)[None, None], axis=-2
+    )  # (B, P, 3) — exact multiply-reduce (see gather_per_class)
     b, p = labels.shape
     loc = jnp.broadcast_to(locations[None], (b, p, 2))
     inv_k = jnp.broadcast_to(inv_intrinsics[:, None], (b, p, 3, 3))
@@ -321,9 +323,10 @@ def decode_fcos3d_candidates(
     # form vs noise for the row form).
     rows = jnp.take_along_axis(stacked, cand["loc_idx"][..., None], axis=1).astype(jnp.float32)  # (B, K, total)
 
-    # Class selection via one-hot contraction, not take_along_axis: a (B, K)
-    # last-axis gather lowers to scalar-core lookups on TPU, while the
-    # einsum is a vectorized VPU reduce over the tiny class dim.
+    # Class selection via one-hot multiply-reduce, not take_along_axis
+    # (scalar-core lookups) and not einsum (dot_general truncates fp32 to
+    # bf16 at default TPU matmul precision): the broadcast multiply + sum
+    # is a vectorized, EXACT VPU reduce over the tiny class dim.
     onehot = None if class_agnostic else jax.nn.one_hot(cand["cls"], nc, dtype=rows.dtype)
     parts = []
     off = 0
@@ -332,7 +335,7 @@ def decode_fcos3d_candidates(
         if class_agnostic:
             part = part[..., 0]
         else:
-            part = jnp.einsum("bkcn,bkn->bkc", part, onehot)
+            part = jnp.sum(part * onehot[:, :, None, :], axis=-1)
         parts.append(part)
         off += c * nc
 
@@ -341,10 +344,9 @@ def decode_fcos3d_candidates(
     conf_k = jax.nn.sigmoid(conf_k[..., 0])
 
     cls_safe = jnp.where(cand["valid"], cand["cls"], 0)
-    canon = jnp.einsum(
-        "bkn,nd->bkd",
-        jax.nn.one_hot(cls_safe, canon_box_sizes.shape[0], dtype=jnp.float32),
-        canon_box_sizes,
+    canon = jnp.sum(
+        jax.nn.one_hot(cls_safe, canon_box_sizes.shape[0], dtype=jnp.float32)[..., None]
+        * canon_box_sizes[None, None], axis=-2,
     )
     inv_k = jnp.broadcast_to(inv_intrinsics[:, None], (b, k, 3, 3))
 

@@ -75,12 +75,13 @@ def nuscenes_dd3d_losses(cfg, outputs, batch, strides=None):
     # Matched-GT lookups as one-hot contractions over G (per-(b, p) gathers
     # serialize on the TPU scalar core; see prepare_targets.py).
     onehot_g = jax.nn.one_hot(matched, batch["gt_attributes"].shape[1], dtype=jnp.float32)
-    attr_tgt = jnp.einsum("bpg,bg->bp", onehot_g, batch["gt_attributes"].astype(jnp.float32)).astype(jnp.int32)
+    # multiply-reduce, not einsum (exact in fp32; see prepare_targets.py)
+    attr_tgt = jnp.sum(onehot_g * batch["gt_attributes"].astype(jnp.float32)[:, None, :], axis=-1).astype(jnp.int32)
     # NaN GT speeds must survive the contraction (NaN * 0 = NaN), so select
     # the finiteness mask and the zero-filled value separately.
     gt_speeds = batch["gt_speeds"]
-    speed_fin = jnp.einsum("bpg,bg->bp", onehot_g, jnp.isfinite(gt_speeds).astype(jnp.float32)) > 0.5
-    speed_tgt_val = jnp.einsum("bpg,bg->bp", onehot_g, jnp.where(jnp.isfinite(gt_speeds), gt_speeds, 0.0))
+    speed_fin = jnp.sum(onehot_g * jnp.isfinite(gt_speeds).astype(jnp.float32)[:, None, :], axis=-1) > 0.5
+    speed_tgt_val = jnp.sum(onehot_g * jnp.where(jnp.isfinite(gt_speeds), gt_speeds, 0.0)[:, None, :], axis=-1)
 
     weights = extra["centerness_targets"]  # already pos-masked
 
@@ -88,7 +89,7 @@ def nuscenes_dd3d_losses(cfg, outputs, batch, strides=None):
     attr_valid = (attr_tgt < num_attr - 1) & pos_mask
     attr_safe = jnp.where(attr_valid, attr_tgt, 0)
     logp = jax.nn.log_softmax(attr_flat, axis=-1)
-    xent = -jnp.einsum("bpa,bpa->bp", logp, jax.nn.one_hot(attr_safe, num_attr, dtype=logp.dtype))
+    xent = -jnp.sum(logp * jax.nn.one_hot(attr_safe, num_attr, dtype=logp.dtype), axis=-1)
     attr_w = weights * attr_valid.astype(jnp.float32)
     attr_denom = jnp.maximum(jnp.sum(attr_w), 1e-6)
     losses["loss_attr"] = cfg.DD3D.NUSC.LOSS.WEIGHT_ATTR * jnp.sum(xent * attr_w) / attr_denom

@@ -93,16 +93,21 @@ def unpack_detections(
 _INFER_CACHE: dict = {}
 
 
+def _freeze(node):
+    if isinstance(node, dict):
+        return tuple(sorted((k, _freeze(v)) for k, v in node.items()))
+    if isinstance(node, (list, tuple)):
+        return tuple(_freeze(v) for v in node)
+    return node
+
+
 def _infer_fingerprint(cfg, group_size: int) -> tuple:
-    inf2d = cfg.DD3D.FCOS2D.INFERENCE
-    inf = cfg.DD3D.INFERENCE
+    # Fingerprint EVERY decode-relevant config subtree, not a hand-picked
+    # key list: a second eval with e.g. different CANONICAL_BOX3D_SIZES or
+    # MIN/MAX_DEPTH must not hit a closure baked with the old constants.
     return (
-        cfg.MODEL.META_ARCHITECTURE, cfg.MODEL.BOX3D_ON, cfg.DD3D.NUM_CLASSES,
-        inf2d.PRE_NMS_THRESH, inf2d.THRESH_WITH_CTR, inf2d.NMS_THRESH, inf2d.POST_NMS_TOPK,
-        inf.DO_NMS, inf.DO_BEV_NMS, inf.BEV_NMS_IOU_THRESH,
-        bool(inf.get("NUSC_SAMPLE_AGGREGATE", False)), group_size,
-        cfg.TPU.PRE_NMS_CANDIDATES_PER_LEVEL, int(cfg.TPU.get("NMS_CANDIDATES", 512)),
-        bool(cfg.TPU.get("USE_APPROX_TOPK", True)),
+        cfg.MODEL.META_ARCHITECTURE, cfg.MODEL.BOX3D_ON,
+        _freeze(dict(cfg.DD3D)), _freeze(dict(cfg.TPU)), group_size,
     )
 
 
@@ -146,6 +151,8 @@ def get_inference_fn(model, cfg, group_size: int = 1, jit: bool = True):
         return det
 
     fn = jax.jit(infer) if jit else infer
+    if len(_INFER_CACHE) >= 16:  # bound the cache (it keeps models alive)
+        _INFER_CACHE.pop(next(iter(_INFER_CACHE)))
     _INFER_CACHE[key] = fn
     return fn
 

@@ -110,13 +110,16 @@ def prepare_targets(
     # while these are dense multiply-reduce ops on the VPU.
     onehot_g = jax.nn.one_hot(matched, gt_valid.shape[1], dtype=jnp.float32)  # (B, P, G)
 
-    labels = jnp.einsum("bpg,bg->bp", onehot_g, gt_classes.astype(jnp.float32)).astype(jnp.int32)
+    # multiply-reduce, not einsum: dot_general at default TPU matmul
+    # precision truncates fp32 operands to bf16, quantizing the regression
+    # targets (ltrb up to ~2000 px has a bf16 step of 8 px).
+    labels = jnp.sum(onehot_g * gt_classes.astype(jnp.float32)[:, None, :], axis=-1).astype(jnp.int32)
     labels = jnp.where(pos_mask, labels, num_classes)
 
-    box2d_reg = jnp.einsum("bpg,bpgc->bpc", onehot_g, ltrb)
+    box2d_reg = jnp.sum(onehot_g[..., None] * ltrb, axis=2)
     box2d_reg = jnp.where(pos_mask[..., None], box2d_reg, 0.0)
 
-    box3d = jnp.einsum("bpg,bgc->bpc", onehot_g, gt_boxes3d)
+    box3d = jnp.sum(onehot_g[..., None] * gt_boxes3d[:, None], axis=2)
     # Neutral padding for negatives: identity quat keeps corner math finite.
     neutral = jnp.asarray([1.0, 0, 0, 0, 0, 0, 1.0, 1.0, 1.0, 1.0], dtype=jnp.float32)
     box3d = jnp.where(pos_mask[..., None], box3d, neutral)

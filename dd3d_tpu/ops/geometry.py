@@ -3,6 +3,7 @@
 Replaces `tridet/utils/geometry.py` (pytorch3d + cv2 based) with batched,
 jit-safe jnp equivalents.
 """
+import jax
 import jax.numpy as jnp
 
 from dd3d_tpu.ops.quaternion import matmul3x3, matrix_to_quaternion, matvec3, quaternion_to_matrix
@@ -23,7 +24,7 @@ def unproject_points2d(points2d: jnp.ndarray, inv_K: jnp.ndarray, scale: float =
     """
     pts = homogenize_points(points2d)
     if inv_K.ndim == 2:
-        out = jnp.einsum("ij,...j->...i", inv_K, pts)
+        out = jnp.einsum("ij,...j->...i", inv_K, pts, precision=jax.lax.Precision.HIGHEST)
     else:
         # Align leading dims: (N, 3, 3) against (N, ..., 3) -> broadcastable
         # (N, 1..., 3, 3) then batched matmul.
@@ -42,9 +43,9 @@ def project_points3d(points3d: jnp.ndarray, K: jnp.ndarray) -> jnp.ndarray:
     tridet/utils/geometry.py:77-83 (zero rvec/tvec/distortion there too).
     """
     if K.ndim == 2:
-        uvw = jnp.einsum("ij,...j->...i", K, points3d)
+        uvw = jnp.einsum("ij,...j->...i", K, points3d, precision=jax.lax.Precision.HIGHEST)
     else:
-        uvw = jnp.einsum("nij,n...j->n...i", K, points3d)
+        uvw = jnp.einsum("nij,n...j->n...i", K, points3d, precision=jax.lax.Precision.HIGHEST)
     return uvw[..., :2] / jnp.where(jnp.abs(uvw[..., 2:3]) < EPS, EPS, uvw[..., 2:3])
 
 

@@ -43,7 +43,7 @@ def boxes3d_corners_to_bev_boxes(corners: jnp.ndarray, cam_to_bev: jnp.ndarray =
     if cam_to_bev is None:
         cam_to_bev = jnp.asarray(CAMERA_TO_BEV)
     top = corners[..., jnp.asarray([0, 1, 5, 4]), :]  # bev_nms.py:72
-    top_bev = jnp.einsum("ij,...kj->...ki", cam_to_bev, top)[..., :2]
+    top_bev = jnp.einsum("ij,...kj->...ki", cam_to_bev, top, precision=jax.lax.Precision.HIGHEST)[..., :2]
     return corners_to_rotated_box(top_bev)
 
 

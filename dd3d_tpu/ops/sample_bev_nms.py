@@ -11,6 +11,7 @@ of a host loop.
 """
 from typing import Dict, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -40,13 +41,13 @@ def sample_bev_nms_in_graph(
     # camera -> global (postprocessing.py:24-50)
     quat_g = quaternion_multiply(pose_quat[:, None, :].astype(jnp.float32), det["boxes3d_quat"].astype(jnp.float32))
     r_pose = quaternion_to_matrix(pose_quat.astype(jnp.float32))  # (C, 3, 3)
-    tvec_g = jnp.einsum("cij,cdj->cdi", r_pose, tvec_cam) + pose_tvec[:, None, :].astype(jnp.float32)
+    tvec_g = jnp.einsum("cij,cdj->cdi", r_pose, tvec_cam, precision=jax.lax.Precision.HIGHEST) + pose_tvec[:, None, :].astype(jnp.float32)
 
     corners = generic_corners(quat_g, tvec_g, det["boxes3d_size"].astype(jnp.float32))
     # boxes already in the global/vehicle frame -> only the vehicle->BEV swap
     # (sample_bev_nms passes pose_cam_global=Pose(), postprocessing.py:55).
     top = corners[..., jnp.asarray([0, 1, 5, 4]), :]
-    top_bev = jnp.einsum("ij,cdkj->cdki", jnp.asarray(VEHICLE_TO_BEV), top)[..., :2]
+    top_bev = jnp.einsum("ij,cdkj->cdki", jnp.asarray(VEHICLE_TO_BEV), top, precision=jax.lax.Precision.HIGHEST)[..., :2]
     bev5 = corners_to_rotated_box(top_bev)  # (C, D, 5)
 
     # flatten the sample; sort by score like the host path

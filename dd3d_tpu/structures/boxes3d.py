@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from dd3d_tpu.ops.geometry import unproject_points2d
@@ -56,7 +57,7 @@ def generic_corners(quat: jnp.ndarray, tvec: jnp.ndarray, size: jnp.ndarray) -> 
     corners_obj = 0.5 * lwh[..., None, :] * CORNER_SIGNS  # (..., 8, 3)
     R = quaternion_to_matrix(quat)  # (..., 3, 3)
     # Row-vector rotation: p' = p @ R^T  (== R @ p for column vectors).
-    corners = jnp.einsum("...ij,...kj->...ki", R, corners_obj)
+    corners = jnp.einsum("...ij,...kj->...ki", R, corners_obj, precision=jax.lax.Precision.HIGHEST)
     return corners + tvec[..., None, :]
 
 
@@ -103,7 +104,7 @@ class Boxes3D(NamedTuple):
         quat = vecs[:, :4]
         tvec = vecs[:, 4:7]
         size = vecs[:, 7:]
-        uvw = jnp.einsum("ij,nj->ni", intrinsics, tvec)
+        uvw = jnp.einsum("ij,nj->ni", intrinsics, tvec, precision=jax.lax.Precision.HIGHEST)
         proj_ctr = uvw[:, :2] / jnp.where(jnp.abs(uvw[:, 2:3]) < 1e-7, 1e-7, uvw[:, 2:3])
         depth = tvec[:, 2:3]
         inv_K = jnp.linalg.inv(intrinsics)

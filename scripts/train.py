@@ -245,7 +245,8 @@ def _do_test_tta(cfg, model, variables, dataset_name, output_dir):
     def run_chunk(chunk):
         """Batched TTA: one device call per (variant, size) bucket across the
         whole chunk (models/tta.py infer_batch)."""
-        images = [read_image_bgr(d["file_name"]).astype(np.float32) for d in chunk]
+        # keep uint8: the uint8 resize path uses PIL BILINEAR like the reference
+        images = [read_image_bgr(d["file_name"]) for d in chunk]
         ks = [np.asarray(d["intrinsics"], np.float64).reshape(3, 3) for d in chunk]
         outs = tta.infer_batch(images, ks)
         dets = []
