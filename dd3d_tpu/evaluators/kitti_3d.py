@@ -252,17 +252,19 @@ class KITTIEvaluationEngine:
         return overlaps, overlaps_by_shard, total_gt_num, total_dt_num
 
     def _prepare_data(self, gt_annos, dt_annos, class_idx, difficulty_idx):
+        # NOTE: DontCare boxes influence only the 2D-bbox metric in the
+        # reference (fused statistics take the dontcare list solely for
+        # metric==BBOX); the BEV/3D metrics computed here never consume
+        # them, so only the ignore flags are materialized.
         gt_list, dt_list = [], []
-        ignored_gts, ignored_dets, dontcares, ignores_per_sample = [], [], [], []
+        ignored_gts, ignored_dets = [], []
         total_num_valid_gt = 0
         for gt_anno, dt_anno in zip(gt_annos, dt_annos):
-            num_valid_gt, ignored_gt, ignored_det, ignored_bboxes = clean_kitti_data(
+            num_valid_gt, ignored_gt, ignored_det, _ignored_bboxes = clean_kitti_data(
                 gt_anno, dt_anno, class_idx, difficulty_idx, self.id_to_name
             )
             ignored_gts.append(np.array(ignored_gt, dtype=np.int64))
             ignored_dets.append(np.array(ignored_det, dtype=np.int64))
-            dontcares.append(np.stack(ignored_bboxes, 0) if ignored_bboxes else np.zeros((0, 4)))
-            ignores_per_sample.append(len(ignored_bboxes))
             total_num_valid_gt += num_valid_gt
             gt_list.append(
                 np.concatenate(
@@ -277,7 +279,7 @@ class KITTIEvaluationEngine:
                     1,
                 )
             )
-        return gt_list, dt_list, ignored_gts, ignored_dets, dontcares, np.asarray(ignores_per_sample), total_num_valid_gt
+        return gt_list, dt_list, ignored_gts, ignored_dets, total_num_valid_gt
 
     def eval_metric(self, gt_annos, dt_annos, metric, overlap_thresholds):
         assert len(gt_annos) == len(dt_annos)
@@ -291,8 +293,8 @@ class KITTIEvaluationEngine:
 
         for class_idx in range(num_classes):
             for difficulty_idx in range(num_difficulties):
-                (gt_data_list, dt_data_list, ignored_gts, ignored_dets, dontcares,
-                 ignores_per_sample, total_num_valid_gt) = self._prepare_data(
+                (gt_data_list, dt_data_list, ignored_gts, ignored_dets,
+                 total_num_valid_gt) = self._prepare_data(
                     gt_annos, dt_annos, class_idx, difficulty_idx
                 )
                 for thresh_idx, min_overlap in enumerate(overlap_thresholds):
@@ -424,11 +426,22 @@ class KITTI3DEvaluator:
         from dd3d_tpu.utils.comm import all_gather_objects, is_distributed
 
         preds, gts = self._predictions_kitti, self._groundtruth_kitti
+        predictions_json = self._predictions_json
         if is_distributed():
-            parts = all_gather_objects((preds, gts))
-            preds = [r for p, _ in parts for r in p]
-            gts = [r for _, g in parts for r in g]
+            # predictions_json rides the same gather: writing the local shard
+            # would leave kitti_predictions.json with one host's fraction
+            # (the reference gathers predictions_as_json too,
+            # kitti_3d_evaluator.py:152-161).
+            parts = all_gather_objects((preds, gts, predictions_json))
+            preds = [r for p, _, _ in parts for r in p]
+            gts = [r for _, g, _ in parts for r in g]
+            predictions_json = [r for _, _, j in parts for r in j]
 
+        # Every process computes the (identical) metrics after the gather;
+        # the reference returns early on non-main ranks instead
+        # (kitti_3d_evaluator.py:158-161). Kept symmetric here: the engine
+        # is OpenMP-parallel and eval overlaps device inference, and rank-
+        # identical results keep the multi-host logging path trivial.
         engine = KITTIEvaluationEngine(id_to_name=self._id_to_name)
         gt_annos = [engine.format_annotation(i, rows, False) for i, rows in enumerate(gts)]
         dt_annos = [engine.format_annotation(i, rows, True) for i, rows in enumerate(preds)]
@@ -439,7 +452,7 @@ class KITTI3DEvaluator:
             import json
 
             with open(os.path.join(self._output_dir, "kitti_predictions.json"), "w") as f:
-                json.dump(self._predictions_json, f)
+                json.dump(predictions_json, f)
         return {"kitti_3d": results}
 
     def write_submission(self, submission_dir: str):

@@ -21,9 +21,18 @@ _lib = None
 
 
 def _build():
-    cmd = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", _SRC, "-o", _LIB]
+    # Compile to a process-unique temp path and os.replace (atomic) into
+    # place: concurrent first-use builds (multi-process eval, parallel test
+    # runs) must never CDLL a partially written .so.
+    tmp = f"{_LIB}.{os.getpid()}.tmp"
+    cmd = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", _SRC, "-o", tmp]
     LOG.info("Building native eval kernels: %s", " ".join(cmd))
-    subprocess.run(cmd, check=True, capture_output=True)
+    try:
+        subprocess.run(cmd, check=True, capture_output=True)
+        os.replace(tmp, _LIB)
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
 
 
 def get_lib():
@@ -31,7 +40,15 @@ def get_lib():
     if _lib is not None:
         return _lib
     if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
-        _build()
+        try:
+            _build()
+        except (OSError, subprocess.CalledProcessError):
+            # mtimes are not preserved by git checkouts; a present .so is
+            # almost certainly current — prefer it over failing outright
+            # on a machine without g++.
+            if not os.path.exists(_LIB):
+                raise
+            LOG.warning("Rebuild of %s failed; using the existing library.", _LIB)
     lib = ctypes.CDLL(_LIB)
     c_double_p = ctypes.POINTER(ctypes.c_double)
     c_int64_p = ctypes.POINTER(ctypes.c_int64)

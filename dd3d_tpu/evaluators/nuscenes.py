@@ -65,7 +65,9 @@ def build_nusc_detection(det: dict, i: int, pose_world_cam: Pose, class_names) -
     if "attributes" in det and ATTRIBUTES_BY_GROUP[cls_name]:
         attr_id = int(det["attributes"][i])
         group = ATTRIBUTES_BY_GROUP[cls_name]
-        attr_name = group[attr_id] if attr_id < len(group) else DEFAULT_ATTRIBUTES[cls_name]
+        # out-of-range ids (incl. the shared "ignore" id 3) wrap modulo the
+        # group, matching the reference exactly (nuscenes_evaluator.py:196-201)
+        attr_name = group[attr_id % len(group)]
     else:
         attr_name = DEFAULT_ATTRIBUTES[cls_name]
 
@@ -96,6 +98,12 @@ class NuscenesEvaluator:
         self._results = defaultdict(list)
 
     def process(self, per_image_detections: List[dict], poses: Optional[List[Pose]] = None):
+        # Samples with zero detections still need a results entry, or their
+        # GT would be dropped by the predicted-samples restriction and their
+        # objects never counted as misses ("This handles samples with no
+        # detections", nuscenes_evaluator.py:164-166).
+        for det in per_image_detections:
+            self._results[det["sample_id"]]  # defaultdict touch
         for j, det in enumerate(per_image_detections):
             pose = poses[j] if poses is not None else det.get("pose") or Pose()
             if isinstance(pose, dict):
@@ -122,12 +130,13 @@ class NuscenesEvaluator:
                 return entries
             return sorted(entries, key=lambda e: -e["detection_score"])[:500]
 
+        self._capped_results = {k: top500(v) for k, v in self._results.items()}
         submission = {
             "meta": {
                 "use_camera": True, "use_lidar": False, "use_radar": False,
                 "use_map": False, "use_external": False,
             },
-            "results": {k: top500(v) for k, v in self._results.items()},
+            "results": self._capped_results,
         }
         path = os.path.join(self._output_dir, "nusc_submission.json")
         with open(path, "w") as f:
@@ -138,6 +147,12 @@ class NuscenesEvaluator:
             return {"nuscenes": self._run_devkit_eval(path)}
         except ImportError:
             LOG.info("nuscenes-devkit not available; using the native metric engine.")
+        except Exception:
+            # e.g. stock DetectionEval's pred-tokens == gt-tokens assert on a
+            # partial eval set (the reference patches exactly this,
+            # nuscenes_evaluator.py:73-128) — fall back to the native engine
+            # rather than losing the whole evaluation.
+            LOG.warning("devkit evaluation failed; falling back to the native engine.", exc_info=True)
         try:
             return {"nuscenes": self._run_native_eval()}
         except Exception:
@@ -170,11 +185,15 @@ class NuscenesEvaluator:
             tok = d.get("sample_token", d.get("sample_id"))
             if tok not in ego_by_sample:
                 pose = d["pose"]
-                ego_by_sample[tok] = list(pose["tvec"][:2]) if isinstance(pose, dict) else pose.tvec[:2].tolist()
-        preds = preds_from_submission(
-            {k: sorted(v, key=lambda e: -e["detection_score"])[:500] for k, v in self._results.items()},
-            ego_by_sample,
-        )
+                if isinstance(pose, dict):
+                    pose = Pose(wxyz=pose["wxyz"], tvec=pose["tvec"])
+                extr = d.get("extrinsics")
+                if isinstance(extr, dict):
+                    extr = Pose(wxyz=extr["wxyz"], tvec=extr["tvec"])
+                ego = (pose * extr.inverse()).tvec if extr is not None else pose.tvec
+                ego_by_sample[tok] = ego[:2].tolist()
+        # reuse the already-capped submission entries (same top-500 policy)
+        preds = preds_from_submission(self._capped_results, ego_by_sample)
         # restrict GT to predicted samples, like the reference's patched
         # DetectionEval (tridet/evaluators/nuscenes_evaluator.py:73-128)
         gt = {tok: gt.get(tok, []) for tok in preds}
