@@ -169,6 +169,37 @@ def inference_on_dataset(model, cfg, variables, dataloader, evaluators, jit=True
     infer_fn = get_inference_fn(model, cfg, group_size=group_size, jit=jit)
     aggregate = bool(cfg.DD3D.INFERENCE.get("NUSC_SAMPLE_AGGREGATE", False)) and group_size > 1
 
+    # Multi-chip hosts: shard the eval batch over the LOCAL devices, exactly
+    # like the train step's data axis — otherwise inference runs on one chip
+    # and the other local chips idle through every eval. Committed input
+    # shardings drive jit's partitioning; ragged tail batches are padded to
+    # a device-count multiple (unpack_detections drops rows beyond len(meta)).
+    n_local = jax.local_device_count()
+    batch_sh = None
+    if jit and n_local > 1:
+        from dd3d_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+
+        mesh = make_mesh(n_local)
+        batch_sh = batch_sharding(mesh)
+        variables = jax.device_put(variables, replicated(mesh))
+
+    def _pad_rows(x, n):
+        import numpy as np
+
+        if n == 0:
+            return x
+        x = np.asarray(x)
+        return np.concatenate([x, np.repeat(x[-1:], n, axis=0)], axis=0)
+
+    def _shard_args(*arrays):
+        if batch_sh is None:
+            return arrays
+        b = arrays[0].shape[0]
+        # keep whole aggregation groups after padding
+        quantum = n_local * group_size if aggregate else n_local
+        pad = (-b) % quantum
+        return tuple(jax.device_put(_pad_rows(a, pad), batch_sh) for a in arrays)
+
     for ev in evaluators:
         ev.reset()
 
@@ -206,10 +237,13 @@ def inference_on_dataset(model, cfg, variables, dataloader, evaluators, jit=True
             if "pose_quat" not in batch:
                 raise KeyError("NUSC_SAMPLE_AGGREGATE requires camera poses in the batch "
                                "(the nuScenes mapper emits them as pose_quat/pose_tvec).")
-            det = infer_fn(variables, batch["image"], batch["intrinsics"],
-                           batch["pose_quat"], batch["pose_tvec"])
+            images, intr, pq, pt = _shard_args(
+                batch["image"], batch["intrinsics"], batch["pose_quat"], batch["pose_tvec"]
+            )
+            det = infer_fn(variables, images, intr, pq, pt)
         else:
-            det = infer_fn(variables, batch["image"], batch["intrinsics"])
+            images, intr = _shard_args(batch["image"], batch["intrinsics"])
+            det = infer_fn(variables, images, intr)
         det = jax.device_get(det)
         per_image = unpack_detections(det, batch, meta)
         for ev in evaluators:
