@@ -88,6 +88,18 @@ class DD3DWithTTA:
 
         self._infer = jax.jit(infer)
         self._variables = variables
+        # Multi-chip hosts: shard each variant batch over the local devices
+        # (same scheme as inference_on_dataset; padded rows are dropped by
+        # unpack via len(metas)).
+        self._n_local = jax.local_device_count()
+        if self._n_local > 1:
+            from dd3d_tpu.parallel.mesh import batch_sharding, make_mesh, replicated
+
+            mesh = make_mesh(self._n_local)
+            self._batch_sh = batch_sharding(mesh)
+            self._variables = jax.device_put(variables, replicated(mesh))
+        else:
+            self._batch_sh = None
 
     def _variants(self, image: np.ndarray):
         return self._variants_hw(*image.shape[:2])
@@ -150,7 +162,18 @@ class DD3DWithTTA:
                     canvas[bi, :nh, :nw] = sample["image"]
                     ks[bi] = sample["intrinsics"].astype(np.float32)
 
+                if self._batch_sh is not None:
+                    import jax as _jax
+
+                    pad = (-len(idxs)) % self._n_local
+                    if pad:
+                        canvas = np.concatenate([canvas, np.repeat(canvas[-1:], pad, axis=0)], axis=0)
+                        ks = np.concatenate([ks, np.repeat(ks[-1:], pad, axis=0)], axis=0)
+                    canvas = _jax.device_put(canvas, self._batch_sh)
+                    ks = _jax.device_put(ks, self._batch_sh)
                 det = jax.device_get(self._infer(self._variables, canvas, ks))
+                det = {k: np.asarray(v)[: len(idxs)] for k, v in det.items()}
+                ks = np.asarray(ks)[: len(idxs)]
                 batch = {"intrinsics": ks, "image_size": np.asarray([[nh, nw]] * len(idxs))}
                 metas = [{"image_id": "tta", "width": w, "height": h}] * len(idxs)
                 # unpack resizes 2D boxes back to original resolution.
