@@ -183,6 +183,24 @@ class Augmentation:
         raise NotImplementedError
 
 
+def resize_shortest_edge_dims(h: int, w: int, size: int, max_size: int):
+    """Target (new_h, new_w) with fvcore's exact arithmetic
+    (fvcore ResizeShortestEdge.get_transform): scale the UNROUNDED float
+    dims, clamp to max_size, then round half-up with int(x + 0.5) — python
+    round() is banker's rounding and plain int() truncates, either of which
+    shifts the target by one pixel vs the reference on .5 boundaries or
+    clamped sizes."""
+    scale = size / min(h, w)
+    if h < w:
+        newh, neww = size, scale * w
+    else:
+        newh, neww = scale * h, size
+    if max(newh, neww) > max_size:
+        s2 = max_size / max(newh, neww)
+        newh, neww = newh * s2, neww * s2
+    return int(newh + 0.5), int(neww + 0.5)
+
+
 class ResizeShortestEdge(Augmentation):
     def __init__(self, short_edge_lengths, max_size, sample_style="choice"):
         if isinstance(short_edge_lengths, int):
@@ -199,11 +217,7 @@ class ResizeShortestEdge(Augmentation):
             size = int(rng.randint(min(self.short_edge_lengths), max(self.short_edge_lengths) + 1))
         if size == 0:
             return NoOpTransform()
-        scale = size / min(h, w)
-        new_h, new_w = (size, int(round(scale * w))) if h < w else (int(round(scale * h)), size)
-        if max(new_h, new_w) > self.max_size:
-            scale = self.max_size / max(new_h, new_w)
-            new_h, new_w = int(new_h * scale), int(new_w * scale)
+        new_h, new_w = resize_shortest_edge_dims(h, w, size, self.max_size)
         return ResizeTransform(h, w, new_h, new_w)
 
 

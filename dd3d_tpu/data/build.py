@@ -109,13 +109,17 @@ class TrainDataLoader:
 
         jitter_cfg = cfg if (cfg.INPUT.AUG_ENABLED and cfg.INPUT.COLOR_JITTER.ENABLED
                              and cfg.INPUT.COLOR_JITTER.get("ON_DEVICE", True)) else None
-        self.mapper = DatasetMapper(
-            build_augmentation(cfg, is_train=True),
-            is_train=True,
+        # single source of truth for mapper construction — the default
+        # mapper, the per-fixed-size thread-path mappers, and the spawned
+        # workers must stay byte-identical
+        self._mapper_kwargs = dict(
             box3d_on=tm.box3d_on,
             depth_on=tm.depth_on,
             nuscenes=cfg.MODEL.META_ARCHITECTURE == "NuscenesDD3D",
             device_jitter_cfg=jitter_cfg,
+        )
+        self.mapper = DatasetMapper(
+            build_augmentation(cfg, is_train=True), is_train=True, **self._mapper_kwargs
         )
         total_batch = batch_size or cfg.SOLVER.IMS_PER_BATCH
         if total_batch % self.num_shards != 0:
@@ -125,6 +129,18 @@ class TrainDataLoader:
         self.size_divisibility = size_divisibility
         self.num_workers = num_workers if num_workers is not None else cfg.DATALOADER.TRAIN.NUM_WORKERS
         use_pp = cfg.DATALOADER.TRAIN.get("USE_PROCESS_POOL", "auto")
+        if isinstance(use_pp, str):
+            # CLI overrides arrive as strings; bool('false') is True, so a
+            # user's USE_PROCESS_POOL=false must not silently enable the pool
+            low = use_pp.strip().lower()
+            if low in ("false", "off", "no", "0"):
+                use_pp = False
+            elif low in ("true", "on", "yes", "1"):
+                use_pp = True
+            elif low == "auto":
+                use_pp = "auto"
+            else:
+                raise ValueError(f"USE_PROCESS_POOL={use_pp!r} (want true/false/auto)")
         if use_pp == "auto":
             # Spawned workers only pay off with real cores; on a 1-2 core box
             # the spawn+pickle overhead loses to GIL-released cv2 threads.
@@ -135,12 +151,28 @@ class TrainDataLoader:
         self.seed = seed
         self.min_sizes = list(cfg.INPUT.RESIZE.MIN_SIZE_TRAIN) if cfg.INPUT.AUG_ENABLED else []
         self.cfg = cfg
-        self._mapper_kwargs = dict(
-            box3d_on=tm.box3d_on,
-            depth_on=tm.depth_on,
-            nuscenes=cfg.MODEL.META_ARCHITECTURE == "NuscenesDD3D",
-            device_jitter_cfg=jitter_cfg,
-        )
+        # Batch KEY SET is config-derived (see collate_batch): data-derived
+        # presence would change the pytree structure between batches/processes.
+        self._want_depth = bool(tm.depth_on)
+        self._want_pose = bool(self._mapper_kwargs["nuscenes"])
+        # Multi-host: the padded canvas must be IDENTICAL across processes
+        # (jax.make_array_from_process_local_data assembles one global
+        # array), but each process sees different images. Precompute the
+        # dataset-wide worst-case canvas per resize bucket. Random crops
+        # change dims unpredictably, so fall back to local-max padding (and
+        # accept same-shape datasets only) when cropping is enabled.
+        self._canvas_by_size = None
+        if self.num_shards > 1 and self.min_sizes and not cfg.INPUT.CROP.ENABLED:
+            from dd3d_tpu.data.augmentations import resize_shortest_edge_dims
+
+            dims = {(int(d["height"]), int(d["width"])) for d in dicts
+                    if d.get("height") and d.get("width")}
+            if dims:
+                max_sz = cfg.INPUT.RESIZE.MAX_SIZE_TRAIN
+                self._canvas_by_size = {}
+                for s in self.min_sizes:
+                    hw = [resize_shortest_edge_dims(h, w, s, max_sz) for (h, w) in dims]
+                    self._canvas_by_size[s] = (max(x[0] for x in hw), max(x[1] for x in hw))
 
     def __iter__(self) -> Iterator[tuple]:
         import jax
@@ -192,25 +224,47 @@ class TrainDataLoader:
             fixed_size = int(batch_rng.choice(self.min_sizes)) if self.min_sizes else None
             seeds = [int(local_rng.randint(2 ** 31)) for _ in indices]
             samples = map_samples(indices, seeds, fixed_size)
-            return collate_batch(samples, self.max_gt, self.size_divisibility)
+            canvas = self._canvas_by_size.get(fixed_size) if self._canvas_by_size else None
+            return collate_batch(samples, self.max_gt, self.size_divisibility,
+                                 want_depth=self._want_depth, want_pose=self._want_pose,
+                                 canvas_hw=canvas)
 
         def producer():
             try:
                 while not stop.is_set():
-                    prefetch.put(make_batch())
-            except Exception as e:  # surface errors to the consumer
-                prefetch.put(e)
+                    batch = make_batch()
+                    # timeout-put so the thread observes `stop` even when the
+                    # consumer is gone and the queue stays full (a plain
+                    # blocking put would pin the pool + its worker processes
+                    # for the rest of the process lifetime, e.g. all through
+                    # the final eval after training ends).
+                    while not stop.is_set():
+                        try:
+                            prefetch.put(batch, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+            except BaseException as e:  # incl. CancelledError from pool shutdown
+                if not stop.is_set():
+                    prefetch.put(e)
 
         thread = threading.Thread(target=producer, daemon=True)
         thread.start()
         try:
             while True:
                 item = prefetch.get()
-                if isinstance(item, Exception):
+                if isinstance(item, BaseException):
                     raise item
                 yield item
         finally:
             stop.set()
+            # unblock a producer stuck in put()
+            try:
+                while True:
+                    prefetch.get_nowait()
+            except queue.Empty:
+                pass
+            thread.join(timeout=5)
             pool.shutdown(wait=False, cancel_futures=True)
 
 
@@ -247,12 +301,15 @@ class TestDataLoader:
 
     def __iter__(self):
         indices = list(self.sampler)
+        # shared rng is safe ONLY because test-time transforms are
+        # deterministic (ResizeShortestEdge with a single MIN_SIZE_TEST)
         rng = np.random.RandomState(0)
-        pool = ThreadPoolExecutor(max_workers=max(1, self.num_workers))
-        for i in range(0, len(indices), self.batch_size):
-            chunk = indices[i : i + self.batch_size]
-            samples = list(pool.map(lambda j: self.mapper(self.dataset_dicts[j], rng), chunk))
-            yield collate_batch(samples, self.max_gt, self.size_divisibility)
+        with ThreadPoolExecutor(max_workers=max(1, self.num_workers)) as pool:
+            for i in range(0, len(indices), self.batch_size):
+                chunk = indices[i : i + self.batch_size]
+                samples = list(pool.map(lambda j: self.mapper(self.dataset_dicts[j], rng), chunk))
+                yield collate_batch(samples, self.max_gt, self.size_divisibility,
+                                    want_pose=bool(self.mapper.nuscenes))
 
 
 def build_train_dataloader(cfg, **kw) -> TrainDataLoader:

@@ -37,8 +37,11 @@ _MANIFEST_CACHE: dict = {}
 def _load_manifest(path: str) -> dict:
     key = (path, os.path.getmtime(path))
     if key not in _MANIFEST_CACHE:
-        while len(_MANIFEST_CACHE) >= 4:  # bound live manifests
-            _MANIFEST_CACHE.pop(next(iter(_MANIFEST_CACHE)))
+        # Keep ONE manifest live: materialized manifests can be huge, and
+        # registration touches every manifest in the directory — a larger
+        # bound would pin several of them in memory for the process
+        # lifetime next to the training job.
+        _MANIFEST_CACHE.clear()
         with open(path) as f:
             _MANIFEST_CACHE[key] = json.load(f)
     return _MANIFEST_CACHE[key]

@@ -128,12 +128,23 @@ def pad_to_divisibility(h: int, w: int, divisibility: int):
     return pad(h), pad(w)
 
 
-def collate_batch(samples: List[dict], max_gt: int, size_divisibility: int = 128) -> dict:
+def collate_batch(samples: List[dict], max_gt: int, size_divisibility: int = 128,
+                  want_depth: bool = None, want_pose: bool = None, canvas_hw=None) -> dict:
     """Static-shape batch: images padded bottom-right to a common canvas
     rounded to `size_divisibility` (cf. ImageList.from_tensors,
-    tridet/structures/image_list.py:124-127), GT padded to `max_gt`."""
+    tridet/structures/image_list.py:124-127), GT padded to `max_gt`.
+
+    `want_depth`/`want_pose` make the batch's KEY SET config-derived rather
+    than data-derived: a data-dependent pytree structure means a fresh XLA
+    compile whenever presence flips between batches and, in multi-host runs
+    (independent sample streams per process), divergent compiled programs
+    that hang the gradient all-reduce. `canvas_hw` similarly pins the padded
+    canvas for multi-host runs where the local batch's max dims may differ
+    per process."""
     max_h = max(s["image"].shape[0] for s in samples)
     max_w = max(s["image"].shape[1] for s in samples)
+    if canvas_hw is not None:
+        max_h, max_w = max(max_h, canvas_hw[0]), max(max_w, canvas_hw[1])
     ph, pw = pad_to_divisibility(max_h, max_w, size_divisibility)
 
     b = len(samples)
@@ -150,16 +161,16 @@ def collate_batch(samples: List[dict], max_gt: int, size_divisibility: int = 128
     has_jitter = "color_jitter" in samples[0]
     color_jitter = np.ones((b, 3), dtype=np.float32)
     # Camera->global poses as device arrays: needed by the in-graph
-    # cross-camera sample aggregation (ops/sample_bev_nms.py).
-    # Presence is decided over the WHOLE batch, not samples[0]: a mixed
-    # batch would otherwise KeyError (first sample has the field) or
-    # silently drop GT (first sample lacks it). Missing poses fall back to
+    # cross-camera sample aggregation (ops/sample_bev_nms.py). Presence is
+    # config-derived when the caller says so (see docstring); the data-
+    # derived fallback covers the whole batch, not samples[0], so a mixed
+    # batch can't KeyError or silently drop GT. Missing poses fall back to
     # identity; missing depth maps stay all-zero, which the dense-depth
     # loss masks out (depth <= 0 is invalid, dense_depth_loss.py:28-36).
-    has_pose = any(s.get("pose") is not None for s in samples)
+    has_pose = want_pose if want_pose is not None else any(s.get("pose") is not None for s in samples)
     pose_quat = np.tile(np.array([1.0, 0, 0, 0], np.float32), (b, 1))
     pose_tvec = np.zeros((b, 3), dtype=np.float32)
-    has_depth = any(s.get("depth") is not None for s in samples)
+    has_depth = want_depth if want_depth is not None else any(s.get("depth") is not None for s in samples)
     depth = np.zeros((b, ph, pw), dtype=np.float32) if has_depth else None
 
     for i, s in enumerate(samples):

@@ -70,6 +70,22 @@ def device_prefetch(data_iter, sharding, depth: int = 2):
             yield item
     finally:
         stop.set()
+        # Unblock the worker if it is parked in q.put, then close the
+        # underlying loader generator so ITS finally runs (shuts down the
+        # mapper pool — spawned worker processes would otherwise stay
+        # resident through the rest of the run, e.g. the final eval).
+        try:
+            while True:
+                q.get_nowait()
+        except queue.Empty:
+            pass
+        close = getattr(data_iter, "close", None)
+        if close is not None:
+            try:
+                close()
+            except RuntimeError:
+                pass  # generator mid-execution in the worker thread; it
+                # will exit via the stop event instead
 
 
 def create_train_state(cfg, model, sample_batch, rng=None) -> TrainState:
