@@ -173,6 +173,24 @@ class TrainDataLoader:
                 for s in self.min_sizes:
                     hw = [resize_shortest_edge_dims(h, w, s, max_sz) for (h, w) in dims]
                     self._canvas_by_size[s] = (max(x[0] for x in hw), max(x[1] for x in hw))
+        if self.num_shards > 1 and self._canvas_by_size is None:
+            # Without a pinned canvas each process pads to its LOCAL max;
+            # divergent global batch shapes fail or hang
+            # jax.make_array_from_process_local_data mid-run. Allow only
+            # when every dataset dict shares one resolution (local max is
+            # then globally identical); otherwise fail at setup, not mid-run.
+            dims = {(d.get("height"), d.get("width")) for d in dicts}
+            if len(dims) != 1 or None in next(iter(dims)):
+                raise ValueError(
+                    "multi-host training needs a precomputable padded canvas: "
+                    "dataset dicts must carry height/width and INPUT.CROP must be "
+                    f"disabled, or all images must share one resolution (got {len(dims)} "
+                    "distinct/unknown resolutions; per-process local-max padding would "
+                    "produce divergent global batch shapes)")
+            LOG.warning(
+                "multi-host canvas pinning unavailable (crop enabled or no resize "
+                "buckets); proceeding because all %d dataset dicts share resolution %s",
+                len(dicts), next(iter(dims)))
 
     def __iter__(self) -> Iterator[tuple]:
         import jax

@@ -35,66 +35,57 @@ DEFAULT_LEVEL_PARAMS = {
 }
 
 
-def _quat_axis_angle(q):
-    q = np.asarray(q, dtype=np.float64)
-    q = q / np.linalg.norm(q)
-    n = np.linalg.norm(q[1:])
-    if n < 1e-12:
-        return np.array([1.0, 0, 0]), 0.0
-    angle = 2.0 * np.arctan2(n, q[0])
-    # wrap to (-pi, pi] like pyquaternion's .angle
-    while angle > np.pi:
-        angle -= 2 * np.pi
-    while angle <= -np.pi:
-        angle += 2 * np.pi
-    return q[1:] / n, angle
+def convert_3d_boxes_to_kitti(quat, tvec, size):
+    """Vectorized: (N, 4) quat wxyz + (N, 3) tvec + (N, 3) size (w, l, h) ->
+    (N, 8) rows of KITTI (W, L, H, x, y, z, rot_y, alpha).
+    cf. kitti_3d_evaluator.py:205-264 (per-box loop there; array-in/array-out
+    here — the eval hot path runs per detection at device ingest rates)."""
+    quat = np.asarray(quat, dtype=np.float64).reshape(-1, 4)
+    tvec = np.asarray(tvec, dtype=np.float64).reshape(-1, 3).copy()
+    size = np.asarray(size, dtype=np.float64).reshape(-1, 3)
+    n = quat.shape[0]
+    if n == 0:
+        return np.zeros((0, 8), dtype=np.float64)
 
+    tvec[:, 1] += size[:, 2] / 2.0
 
-def _quat_mul(q1, q2):
-    w1, x1, y1, z1 = q1
-    w2, x2, y2, z2 = q2
-    return np.array(
+    # inverse of the x(+90deg) label rotation: q_inv = [cos(-45deg), sin(-45deg), 0, 0]
+    c, s = np.cos(-np.pi / 4), np.sin(-np.pi / 4)
+    w1, x1 = c, s
+    w2, x2, y2, z2 = quat[:, 0], quat[:, 1], quat[:, 2], quat[:, 3]
+    q = np.stack(
         [
-            w1 * w2 - x1 * x2 - y1 * y2 - z1 * z2,
-            w1 * x2 + x1 * w2 + y1 * z2 - z1 * y2,
-            w1 * y2 - x1 * z2 + y1 * w2 + z1 * x2,
-            w1 * z2 + x1 * y2 - y1 * x2 + z1 * w2,
-        ]
+            w1 * w2 - x1 * x2,
+            w1 * x2 + x1 * w2,
+            w1 * y2 - x1 * z2,
+            w1 * z2 + x1 * y2,
+        ],
+        axis=-1,
+    )
+    q = q / np.maximum(np.linalg.norm(q, axis=-1, keepdims=True), 1e-300)
+    vn = np.linalg.norm(q[:, 1:], axis=-1)
+    angle = 2.0 * np.arctan2(vn, q[:, 0])
+    # wrap to (-pi, pi] like pyquaternion's .angle
+    angle = np.where(angle > np.pi, angle - 2 * np.pi, angle)
+    angle = np.where(angle <= -np.pi, angle + 2 * np.pi, angle)
+    axis_z = np.where(vn < 1e-12, 0.0, q[:, 3] / np.maximum(vn, 1e-300))
+    rot_y = np.where(axis_z > 0, -angle, angle)
+
+    # alpha from the BEV position of the box (kitti_3d_evaluator.py:246-259)
+    theta = np.arctan2(np.abs(tvec[:, 0]), np.abs(tvec[:, 2]))
+    alpha = np.where(tvec[:, 0] < 0, rot_y + theta, rot_y - theta)
+    alpha = np.where(alpha > np.pi, alpha - 2.0 * np.pi, alpha)
+    alpha = np.where(alpha < -np.pi, alpha + 2.0 * np.pi, alpha)
+    alpha = np.around(alpha, decimals=2)
+
+    return np.stack(
+        [size[:, 0], size[:, 1], size[:, 2], tvec[:, 0], tvec[:, 1], tvec[:, 2], rot_y, alpha], axis=-1
     )
 
 
 def convert_3d_box_to_kitti(quat, tvec, size):
-    """Our box (camera frame, cuboid center, quat wxyz, size (w, l, h)) ->
-    KITTI (W, L, H, x, y, z, rot_y, alpha). cf. kitti_3d_evaluator.py:205-264."""
-    quat = np.asarray(quat, dtype=np.float64)
-    tvec = np.asarray(tvec, dtype=np.float64).copy()
-    size = np.asarray(size, dtype=np.float64)
-
-    tvec += np.array([0.0, size[2] / 2.0, 0.0])
-
-    half = -np.pi / 4  # inverse of x(+90deg) rotation: axis-angle x(-90) -> half angle
-    inversion = np.array([np.cos(-np.pi / 4), np.sin(-np.pi / 4), 0.0, 0.0])
-    q = _quat_mul(inversion, quat)
-    axis, angle = _quat_axis_angle(q)
-
-    if axis[2] > 0:
-        rot_y = -angle
-    else:
-        rot_y = angle
-
-    # alpha from the BEV position of the box (the reference transforms the
-    # origin by kitti_pose and reads its (x, z); see :246-259)
-    base = np.array([tvec[0], tvec[2]])
-
-    theta = np.arctan2(abs(base[0]), abs(base[1]))
-    alpha = rot_y + theta if base[0] < 0 else rot_y - theta
-    if alpha > np.pi:
-        alpha -= 2.0 * np.pi
-    elif alpha < -np.pi:
-        alpha += 2.0 * np.pi
-    alpha = np.around(alpha, decimals=2)
-
-    return size[0], size[1], size[2], tvec[0], tvec[1], tvec[2], rot_y, alpha
+    """Single-box convenience wrapper over `convert_3d_boxes_to_kitti`."""
+    return tuple(convert_3d_boxes_to_kitti(quat, tvec, size)[0])
 
 
 def clean_kitti_data(gt_anno, dt_anno, current_class, difficulty, id_to_name,
@@ -385,12 +376,12 @@ class KITTI3DEvaluator:
         size (N, 3)."""
         for det in per_image_detections:
             rows = []
-            for i in range(len(det["classes"])):
+            kitti = convert_3d_boxes_to_kitti(det["quat"], det["tvec"], det["size"])
+            boxes2d = np.asarray(det["boxes2d"], dtype=np.float64).reshape(-1, 4)
+            for i in range(kitti.shape[0]):
                 cls_name = self._class_names[int(det["classes"][i])]
-                w, l, h, x, y, z, rot_y, alpha = convert_3d_box_to_kitti(
-                    det["quat"][i], det["tvec"][i], det["size"][i]
-                )
-                lt, tt, rt, bt = det["boxes2d"][i].tolist()
+                w, l, h, x, y, z, rot_y, alpha = kitti[i]
+                lt, tt, rt, bt = boxes2d[i].tolist()
                 rows.append(
                     [cls_name, -1, -1, alpha, lt, tt, rt, bt, h, w, l, x, y, z, rot_y, float(det["scores_3d"][i])]
                 )
@@ -412,18 +403,21 @@ class KITTI3DEvaluator:
                 self._groundtruth_kitti.append(raw)
             else:
                 gt_rows = []
-                for anno in gt_dict.get("annotations", []):
-                    cls_name = self._class_names[anno["category_id"]]
-                    vec = np.asarray(anno["bbox3d"])
-                    w, l, h, x, y, z, rot_y, alpha = convert_3d_box_to_kitti(vec[:4], vec[4:7], vec[7:])
-                    lt, tt, rt, bt = anno["bbox"]
-                    gt_rows.append([cls_name, -1, -1, alpha, lt, tt, rt, bt, h, w, l, x, y, z, rot_y])
+                annos = gt_dict.get("annotations", [])
+                if annos:
+                    vecs = np.asarray([a["bbox3d"] for a in annos], dtype=np.float64)
+                    kitti_gt = convert_3d_boxes_to_kitti(vecs[:, :4], vecs[:, 4:7], vecs[:, 7:])
+                    for anno, row in zip(annos, kitti_gt):
+                        cls_name = self._class_names[anno["category_id"]]
+                        w, l, h, x, y, z, rot_y, alpha = row
+                        lt, tt, rt, bt = anno["bbox"]
+                        gt_rows.append([cls_name, -1, -1, alpha, lt, tt, rt, bt, h, w, l, x, y, z, rot_y])
                 self._groundtruth_kitti.append(gt_rows)
 
     def evaluate(self) -> Dict[str, float]:
         # Multi-host: merge every process's accumulated predictions/GT (the
         # reference's comm.gather to rank 0, kitti_3d_evaluator.py:152-161).
-        from dd3d_tpu.utils.comm import all_gather_objects, is_distributed
+        from dd3d_tpu.utils.comm import all_gather_objects, is_distributed, is_main_process
 
         preds, gts = self._predictions_kitti, self._groundtruth_kitti
         predictions_json = self._predictions_json
@@ -447,7 +441,10 @@ class KITTI3DEvaluator:
         dt_annos = [engine.format_annotation(i, rows, True) for i, rows in enumerate(preds)]
         results = engine.evaluate(gt_annos, dt_annos, self._iou_thresholds)
 
-        if self._output_dir:
+        if self._output_dir and is_main_process():
+            # main-rank-only write: concurrent writers to a shared output
+            # dir would interleave (reference writes from rank 0 only,
+            # kitti_3d_evaluator.py:158-161)
             os.makedirs(self._output_dir, exist_ok=True)
             import json
 

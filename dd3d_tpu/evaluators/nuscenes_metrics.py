@@ -26,7 +26,11 @@ Box format (plain dicts; one list per sample_token):
 Known deviations when GT is assembled from camera dataset dicts (instead of
 the devkit DB): GT is restricted to camera-visible annotations, GT velocity
 is reconstructed as speed x global heading (direction is not stored), and
-the devkit's map-based "bikes in bike racks" removal is skipped. See
+the devkit's map-based "bikes in bike racks" removal is skipped. The
+devkit's removal of GT boxes with zero lidar+radar points
+(loaders.filter_eval_boxes) is applied only when boxes carry a `num_pts`
+key — GT assembled from camera dataset dicts has already been
+point-count-filtered at dataset build time (nuscenes/build.py:173). See
 `gt_from_dataset_dicts`.
 """
 import math
@@ -160,7 +164,12 @@ def accumulate(
         for p in boxes
         if p["detection_name"] == class_name
     ]
-    preds.sort(key=lambda tp_: -tp_[1]["detection_score"])
+    # devkit tie order (algo.py): sorted ascending by (score, index) then
+    # reversed -> descending score, ties broken by DESCENDING insertion index
+    preds = [
+        preds[i]
+        for _, i in sorted(((p["detection_score"], i) for i, (_t, p) in enumerate(preds)), reverse=True)
+    ]
 
     tp, fp, conf = [], [], []
     match = {m: [] for m in TP_METRICS}
@@ -241,9 +250,13 @@ def filter_boxes(boxes_by_sample: Dict[str, List[dict]], class_range=CLASS_RANGE
             rng = class_range.get(b["detection_name"])
             if rng is None:
                 continue
+            if b.get("num_pts", 1) == 0:
+                # devkit loaders.filter_eval_boxes removes point-free GT
+                continue
             ego = np.asarray(b["ego_translation"][:2], dtype=np.float64)
             d = float(np.linalg.norm(np.asarray(b["translation"][:2]) - ego))
-            if d <= rng:
+            # strict < matches devkit loaders.filter_eval_boxes
+            if d < rng:
                 kept.append(b)
         out[tok] = kept
     return out

@@ -53,11 +53,14 @@ def build_nuscenes_dd3d(cfg) -> NuscenesDD3D:
 def nuscenes_dd3d_losses(cfg, outputs, batch, strides=None):
     """Full NuscenesDD3D loss: DD3D losses + attribute xent + speed smooth-L1.
 
-    cf. NuscenesLoss (nuscenes_dd3d.py:199-265). Both extra losses are
-    centerness-weighted sums normalized by the (global) centerness mass of
-    the locations with VALID attribute/speed targets. (The reference's attr
-    branch calls F.cross_entropy with mean reduction before weighting — a
-    quirk whose rank-averaged effect is the weighted form implemented here.)
+    cf. NuscenesLoss (nuscenes_dd3d.py:199-265). The speed loss is a
+    centerness-weighted sum normalized by the (global) centerness mass of the
+    locations with valid speed targets. The attribute loss mirrors the
+    reference's quirk EXACTLY (single-process semantics over the global
+    batch): F.cross_entropy with mean reduction produces the UNWEIGHTED mean
+    xent over valid locations, which is then multiplied by the summed
+    centerness weights and divided by max(that same sum, 1e-6) — i.e. the
+    plain mean xent, except a near-zero weight mass scales it toward 0.
 
     batch must additionally carry gt_attributes (B, G) with
     MAX_NUM_ATTRIBUTES - 1 == "ignore" and gt_speeds (B, G).
@@ -90,9 +93,14 @@ def nuscenes_dd3d_losses(cfg, outputs, batch, strides=None):
     attr_safe = jnp.where(attr_valid, attr_tgt, 0)
     logp = jax.nn.log_softmax(attr_flat, axis=-1)
     xent = -jnp.sum(logp * jax.nn.one_hot(attr_safe, num_attr, dtype=logp.dtype), axis=-1)
-    attr_w = weights * attr_valid.astype(jnp.float32)
-    attr_denom = jnp.maximum(jnp.sum(attr_w), 1e-6)
-    losses["loss_attr"] = cfg.DD3D.NUSC.LOSS.WEIGHT_ATTR * jnp.sum(xent * attr_w) / attr_denom
+    attr_valid_f = attr_valid.astype(jnp.float32)
+    attr_w = weights * attr_valid_f
+    # Reference-exact (nuscenes_dd3d.py:230-239): mean xent over valid
+    # positives (cross_entropy's default mean reduction), scaled by
+    # wsum / max(wsum, 1e-6) — identity except at near-zero weight mass.
+    mean_xent = jnp.sum(xent * attr_valid_f) / jnp.maximum(jnp.sum(attr_valid_f), 1.0)
+    wsum = jnp.sum(attr_w)
+    losses["loss_attr"] = cfg.DD3D.NUSC.LOSS.WEIGHT_ATTR * mean_xent * wsum / jnp.maximum(wsum, 1e-6)
 
     # Speed: NaN GT speeds are invalid (nuscenes_dd3d.py:245-247).
     speed_valid = speed_fin & pos_mask

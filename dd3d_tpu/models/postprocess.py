@@ -121,7 +121,11 @@ def get_inference_fn(model, cfg, group_size: int = 1, jit: bool = True):
 
     key = (id(model), _infer_fingerprint(cfg, group_size), jit)
     if key in _INFER_CACHE:
-        return _INFER_CACHE[key]
+        # LRU: refresh on hit so eviction drops the least-recently-used
+        # entry, not the oldest-inserted one
+        fn = _INFER_CACHE.pop(key)
+        _INFER_CACHE[key] = fn
+        return fn
 
     strides = model_strides(model)
     aggregate = bool(cfg.DD3D.INFERENCE.get("NUSC_SAMPLE_AGGREGATE", False)) and group_size > 1

@@ -28,6 +28,15 @@ def init_distributed(coordinator_address: Optional[str] = None, num_processes: O
     single-process."""
     if num_processes in (None, 1) and coordinator_address is None:
         return
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # Multi-process CPU (local multi-host testing) needs an explicit
+        # cross-process collectives backend; TPU uses ICI and ignores this.
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception as e:  # older jax or no gloo build
+            LOG.warning("could not enable gloo CPU collectives: %s", e)
     try:
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
     except RuntimeError as e:
@@ -65,12 +74,24 @@ def master_only(fn):
 
 
 def broadcast_from_master(obj: Any) -> Any:
-    """Broadcast a picklable object from process 0 (tridet/utils/comm.py:19-50)."""
+    """Broadcast a picklable object from process 0 (tridet/utils/comm.py:19-50).
+
+    Two-phase: broadcast the pickled payload size, then the padded payload
+    (broadcast_one_to_all needs identical shapes on every process)."""
     if not is_distributed():
         return obj
+    import pickle
+
+    import numpy as np
     from jax.experimental import multihost_utils
 
-    return multihost_utils.broadcast_one_to_all(obj)
+    data = pickle.dumps(obj) if is_main_process() else b""
+    size = multihost_utils.broadcast_one_to_all(np.asarray([len(data)]))
+    buf = np.zeros(int(size[0]), dtype=np.uint8)
+    if is_main_process():
+        buf[:] = np.frombuffer(data, dtype=np.uint8)
+    buf = multihost_utils.broadcast_one_to_all(buf)
+    return pickle.loads(buf.tobytes())
 
 
 def all_gather_objects(obj: Any) -> list:
