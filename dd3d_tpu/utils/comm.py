@@ -40,7 +40,12 @@ def init_distributed(coordinator_address: Optional[str] = None, num_processes: O
     try:
         jax.distributed.initialize(coordinator_address, num_processes, process_id)
     except RuntimeError as e:
-        LOG.warning("jax.distributed.initialize failed or already initialized: %s", e)
+        if "already initialized" in str(e).lower():
+            LOG.warning("jax.distributed already initialized: %s", e)
+        else:
+            # Proceeding single-process after an explicit multi-process
+            # request would silently train on a fraction of the data.
+            raise
 
 
 def get_world_size() -> int:

@@ -48,9 +48,16 @@ def test_two_process_run_matches_single_process(tmp_path):
         for i in range(2)
     ]
     logs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=1500)
-        logs.append(out.decode(errors="replace"))
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=1500)
+            logs.append(out.decode(errors="replace"))
+    finally:
+        # never leave orphans: they contend the CPU and starve the NEXT
+        # run's jax.distributed initialization past its timeout
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"rank {i} failed:\n{logs[i][-4000:]}"
 

@@ -169,8 +169,13 @@ def run_workload(dataset_name="two_proc_fixture"):
 def main():
     pid, nprocs, port, out_path = int(sys.argv[1]), int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    os.environ["JAX_PLATFORMS"] = "cpu"
     import jax
 
+    # The env var alone is NOT enough: the axon TPU plugin prepends itself
+    # to the platform list and silently wins (the run then sees ONE TPU
+    # device and world=1). Force cpu at the config level like conftest.
+    jax.config.update("jax_platforms", "cpu")
     # share the test suite's persistent compile cache: cold CPU compiles of
     # the train step skew the two ranks minutes apart otherwise
     jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/jax_test_cache"))
@@ -178,6 +183,10 @@ def main():
     from dd3d_tpu.utils.comm import init_distributed
 
     init_distributed(f"127.0.0.1:{port}", num_processes=nprocs, process_id=pid)
+    assert jax.process_count() == nprocs, (
+        f"expected {nprocs} processes, got {jax.process_count()} on platform "
+        f"{jax.devices()[0].platform}"
+    )
     result = run_workload()
     with open(out_path, "w") as f:
         json.dump(result, f)
