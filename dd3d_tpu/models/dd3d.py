@@ -147,6 +147,20 @@ def flatten_levels(outputs: List[jnp.ndarray]) -> jnp.ndarray:
     )
 
 
+def flatten_levels_t(outputs: List[jnp.ndarray]) -> jnp.ndarray:
+    """[per-level (B, H, W, C)] -> (B, C, P) fp32, level-major along P.
+
+    Component-major layout for the dense losses: the big location axis P is
+    minor (lane-aligned); the tiny channel axis sits on sublanes. One
+    transpose per head output here saves 25x lane-padding on every
+    subsequent loss pass (see models/loss_geometry.py)."""
+    b = outputs[0].shape[0]
+    return jnp.concatenate(
+        [jnp.moveaxis(x.astype(jnp.float32), -1, 1).reshape(b, x.shape[-1], -1) for x in outputs],
+        axis=-1,
+    )
+
+
 def feature_shapes_for(image_hw: Tuple[int, int], strides: Sequence[int]) -> List[Tuple[int, int]]:
     h, w = image_hw
     return [(h // s, w // s) for s in strides]
@@ -181,9 +195,9 @@ def dd3d_losses(
         pos_radius=cfg.DD3D.FCOS3D.PREPARE_TARGET.POS_RADIUS,
     )
 
-    logits_flat = flatten_levels(outputs["logits"])
-    box2d_flat = flatten_levels(outputs["box2d_reg"])
-    ctr_flat = flatten_levels(outputs["centerness"])[..., 0]
+    logits_flat = flatten_levels_t(outputs["logits"])
+    box2d_flat = flatten_levels_t(outputs["box2d_reg"])
+    ctr_flat = flatten_levels_t(outputs["centerness"])[:, 0]
 
     losses, extra = fcos2d_loss(
         logits_flat, box2d_flat, ctr_flat, targets,
@@ -196,11 +210,11 @@ def dd3d_losses(
         inv_intrinsics = jnp.linalg.inv(batch["intrinsics"].astype(jnp.float32))
         canon = jnp.asarray(cfg.DD3D.FCOS3D.CANONICAL_BOX3D_SIZES, dtype=jnp.float32)
         losses3d = fcos3d_loss(
-            flatten_levels(outputs["quat"]),
-            flatten_levels(outputs["proj_ctr"]),
-            flatten_levels(outputs["depth"]),
-            flatten_levels(outputs["size"]),
-            flatten_levels(outputs["conf"]),
+            flatten_levels_t(outputs["quat"]),
+            flatten_levels_t(outputs["proj_ctr"]),
+            flatten_levels_t(outputs["depth"]),
+            flatten_levels_t(outputs["size"]),
+            flatten_levels_t(outputs["conf"]),
             targets, extra, inv_intrinsics, locations, canon, cfg.DD3D.FCOS3D,
         )
         losses.update(losses3d)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from dd3d_tpu.models.layers import PerLevelNorms, Scale, kaiming_normal_fan_out, kaiming_uniform_a1
-from dd3d_tpu.ops.losses import iou_loss_ltrb, optax_sigmoid_bce, sigmoid_focal_loss
+from dd3d_tpu.ops.losses import iou_loss_ltrb_t, optax_sigmoid_bce, sigmoid_focal_loss
 from dd3d_tpu.ops.nms import NEG_INF
 
 
@@ -33,6 +33,14 @@ def compute_ctrness_targets(reg_targets: jnp.ndarray) -> jnp.ndarray:
     tb = reg_targets[..., jnp.asarray([1, 3])]
     lr_ratio = jnp.min(lr, -1) / jnp.maximum(jnp.max(lr, -1), 1e-9)
     tb_ratio = jnp.min(tb, -1) / jnp.maximum(jnp.max(tb, -1), 1e-9)
+    return jnp.sqrt(jnp.maximum(lr_ratio * tb_ratio, 0.0))
+
+
+def compute_ctrness_targets_t(reg_t: jnp.ndarray) -> jnp.ndarray:
+    """Component-major variant: (B, 4, P) ltrb -> (B, P)."""
+    l, t, r, b = reg_t[:, 0], reg_t[:, 1], reg_t[:, 2], reg_t[:, 3]
+    lr_ratio = jnp.minimum(l, r) / jnp.maximum(jnp.maximum(l, r), 1e-9)
+    tb_ratio = jnp.minimum(t, b) / jnp.maximum(jnp.maximum(t, b), 1e-9)
     return jnp.sqrt(jnp.maximum(lr_ratio * tb_ratio, 0.0))
 
 
@@ -116,8 +124,8 @@ class FCOS2DHead(nn.Module):
 
 
 def fcos2d_loss(
-    logits_flat: jnp.ndarray,  # (B, P, C) fp32
-    box2d_reg_flat: jnp.ndarray,  # (B, P, 4) fp32
+    logits_flat: jnp.ndarray,  # (B, C, P) fp32 — component-major, P minor
+    box2d_reg_flat: jnp.ndarray,  # (B, 4, P) fp32
     centerness_flat: jnp.ndarray,  # (B, P) fp32
     targets: Dict[str, jnp.ndarray],
     focal_alpha: float = 0.25,
@@ -129,23 +137,25 @@ def fcos2d_loss(
     The reference normalizes by cross-worker positive count / centerness sum
     divided by world size, then DDP averages gradients — globally equivalent
     to sum/global_total, which is what we compute (XLA inserts the psum when
-    the batch is sharded over the mesh).
+    the batch is sharded over the mesh). Layout: see loss_geometry.py — C/4
+    on sublanes, P on lanes.
     """
-    num_classes = logits_flat.shape[-1]
+    num_classes = logits_flat.shape[1]
     labels = targets["labels"]  # (B, P) int32, num_classes == background
-    box2d_tgt = targets["box2d_reg_targets"]  # (B, P, 4)
+    box2d_tgt = targets["box2d_reg_targets"]  # (B, 4, P)
     pos = targets["pos_mask"].astype(jnp.float32)  # (B, P)
 
     num_pos = jnp.maximum(jnp.sum(pos), 1.0)
 
-    cls_target = jax.nn.one_hot(labels, num_classes, dtype=jnp.float32) * pos[..., None]
+    iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, num_classes, 1), 1)
+    cls_target = (labels[:, None, :] == iota_c).astype(jnp.float32) * pos[:, None, :]
     loss_cls = jnp.sum(sigmoid_focal_loss(logits_flat, cls_target, focal_alpha, focal_gamma)) / num_pos
 
-    ctr_targets = compute_ctrness_targets(box2d_tgt)  # (B, P)
+    ctr_targets = compute_ctrness_targets_t(box2d_tgt)  # (B, P)
     ctr_targets = ctr_targets * pos
     loss_denom = jnp.maximum(jnp.sum(ctr_targets), 1e-6)
 
-    iou_elem = iou_loss_ltrb(box2d_reg_flat, box2d_tgt, loc_loss_type)  # (B, P)
+    iou_elem = iou_loss_ltrb_t(box2d_reg_flat, box2d_tgt, loc_loss_type)  # (B, P)
     loss_box2d = jnp.sum(iou_elem * ctr_targets * pos) / loss_denom
 
     ctr_bce = optax_sigmoid_bce(centerness_flat, ctr_targets)

@@ -161,64 +161,30 @@ def predictions_to_boxes3d(
     return Boxes3D(quat, proj_ctr, depth, size, inv_intrinsics)
 
 
-def disentangled_box3d_loss(
-    pred: Boxes3D,
-    target: Boxes3D,
-    weights: jnp.ndarray,  # (B, P) centerness targets (already pos-masked)
-    pos_mask: jnp.ndarray,  # (B, P) float
-    loss_denom: jnp.ndarray,
-    smooth_l1_beta: float = 0.05,
-    max_loss_per_group: float = 20.0,
-) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
-    """Disentangled 8-corner loss over dense masked locations.
-    cf. tridet/modeling/dd3d/disentangled_box3d_loss.py:26-54.
-
-    (NOTE: the reference computes `loss.clamp(max=...)` without assignment —
-    a no-op; we intentionally reproduce that behavior, keeping the unclamped
-    loss, and keep `max_loss_per_group` in the signature for config parity.)
-    """
-    del max_loss_per_group
-    target_corners = target.corners  # (B, P, 8, 3) fp32
-
-    losses = {}
-    for key in ("quat", "proj_ctr", "depth", "size"):
-        sub = target.replace(**{key: getattr(pred, key)})
-        pred_corners = sub.corners
-        elem = smooth_l1_loss(pred_corners, target_corners, smooth_l1_beta)  # (B, P, 8, 3)
-        per_loc = jnp.mean(elem.reshape(elem.shape[:-2] + (24,)), axis=-1)  # (B, P)
-        losses[f"loss_box3d_{key}"] = jnp.sum(per_loc * weights * pos_mask) / loss_denom
-
-    entangled_l1 = jnp.mean(
-        jnp.abs(target_corners - jax.lax.stop_gradient(pred.corners)).reshape(target_corners.shape[:-2] + (24,)),
-        axis=-1,
-    )
-    return losses, entangled_l1
-
-
-def gather_per_class(pred_flat: jnp.ndarray, labels: jnp.ndarray, comp_dim: int, num_classes: int) -> jnp.ndarray:
-    """(B, P, comp_dim * C) -> (B, P, comp_dim) selecting each location's class.
+def gather_per_class_t(pred_flat: jnp.ndarray, onehot_c: jnp.ndarray, comp_dim: int, num_classes: int) -> jnp.ndarray:
+    """(B, comp_dim * C, P) -> (B, comp_dim, P) selecting each location's class.
 
     Mirrors the torch.gather class selection in fcos3d.py:258-263, expressed
-    as a one-hot contraction: a last-axis `take_along_axis` with per-location
-    indices lowers to a serialized scalar-core gather on TPU (the same
-    pattern cost 25 ms/level in the decode path), while the contraction is a
-    dense VPU/MXU op.
+    as a one-hot contraction in the component-major P-minor layout (see
+    loss_geometry.py): a last-axis `take_along_axis` with per-location
+    indices lowers to a serialized scalar-core gather on TPU, while the
+    contraction is a dense VPU multiply-reduce (exact in fp32 — no
+    dot_general bf16 truncation). Channel order is [comp, class] row-major
+    (the reference's reshape(-1, comp, C)).
     """
-    b, p, _ = pred_flat.shape
-    r = pred_flat.reshape(b, p, comp_dim, num_classes)
-    onehot = jax.nn.one_hot(labels, num_classes, dtype=r.dtype)  # (B, P, C)
-    # multiply-reduce, NOT einsum: a dot_general at default TPU matmul
-    # precision truncates fp32 operands to bf16 (0.4% value error); the
-    # broadcast-multiply VPU reduce is exact and just as fast at this size.
-    return jnp.sum(r * onehot[:, :, None, :], axis=-1)
+    out = []
+    for k in range(comp_dim):
+        blk = pred_flat[:, k * num_classes:(k + 1) * num_classes, :]  # (B, C, P)
+        out.append(jnp.sum(blk * onehot_c, axis=1))
+    return jnp.stack(out, axis=1)  # (B, comp, P)
 
 
 def fcos3d_loss(
-    quat_flat: jnp.ndarray,  # (B, P, 4C) fp32
-    ctr_flat: jnp.ndarray,  # (B, P, 2C)
-    depth_flat: jnp.ndarray,  # (B, P, C)
-    size_flat: jnp.ndarray,  # (B, P, 3C)
-    conf_flat: jnp.ndarray,  # (B, P, C)
+    quat_flat: jnp.ndarray,  # (B, 4C, P) fp32 — component-major, P minor
+    ctr_flat: jnp.ndarray,  # (B, 2C, P)
+    depth_flat: jnp.ndarray,  # (B, C, P)
+    size_flat: jnp.ndarray,  # (B, 3C, P)
+    conf_flat: jnp.ndarray,  # (B, C, P)
     targets: Dict[str, jnp.ndarray],
     fcos2d_info: Dict[str, jnp.ndarray],
     inv_intrinsics: jnp.ndarray,  # (B, 3, 3)
@@ -226,60 +192,99 @@ def fcos3d_loss(
     canon_box_sizes: jnp.ndarray,  # (num_classes, 3)
     cfg3d,
 ) -> Dict[str, jnp.ndarray]:
-    """Dense masked FCOS3D loss. cf. tridet/modeling/dd3d/fcos3d.py:209-299."""
-    num_classes = conf_flat.shape[-1] if not cfg3d.CLASS_AGNOSTIC_BOX3D else 1
+    """Dense masked FCOS3D loss. cf. tridet/modeling/dd3d/fcos3d.py:209-299.
+
+    All maps are component-major with the large P axis minor (see
+    loss_geometry.py) — the (B, P, comp[, C]) forms padded their tiny minor
+    axes to 128 lanes and cost 51 ms of a 169 ms batch-16 train step.
+    Includes the reference's no-op `loss.clamp(max=...)`
+    (disentangled_box3d_loss.py:43): the loss is intentionally unclamped;
+    MAX_LOSS_PER_GROUP_DISENT is accepted for config parity only.
+    """
+    from dd3d_tpu.models.loss_geometry import (
+        allocentric_to_egocentric_t,
+        corners_t,
+        normalize_rows,
+    )
+
+    num_classes = conf_flat.shape[1] if not cfg3d.CLASS_AGNOSTIC_BOX3D else 1
     labels = targets["labels"]
     pos = targets["pos_mask"].astype(jnp.float32)
     labels_safe = jnp.where(targets["pos_mask"], labels, 0)
 
+    canon_tbl = canon_box_sizes.astype(jnp.float32)
+    iota_canon = jax.lax.broadcasted_iota(jnp.int32, (1, canon_tbl.shape[0], 1), 1)
+    onehot_canon = (labels_safe[:, None, :] == iota_canon).astype(jnp.float32)  # (B, K, P)
+
     if cfg3d.CLASS_AGNOSTIC_BOX3D:
         quat_p, ctr_p = quat_flat, ctr_flat
-        depth_p, size_p, conf_p = depth_flat[..., 0], size_flat, conf_flat[..., 0]
+        depth_p, size_p, conf_p = depth_flat[:, 0], size_flat, conf_flat[:, 0]
     else:
-        quat_p = gather_per_class(quat_flat, labels_safe, 4, num_classes)
-        ctr_p = gather_per_class(ctr_flat, labels_safe, 2, num_classes)
-        depth_p = gather_per_class(depth_flat, labels_safe, 1, num_classes)[..., 0]
-        size_p = gather_per_class(size_flat, labels_safe, 3, num_classes)
-        conf_p = gather_per_class(conf_flat, labels_safe, 1, num_classes)[..., 0]
+        iota_c = jax.lax.broadcasted_iota(jnp.int32, (1, num_classes, 1), 1)
+        onehot_c = (labels_safe[:, None, :] == iota_c).astype(jnp.float32)  # (B, C, P)
+        quat_p = gather_per_class_t(quat_flat, onehot_c, 4, num_classes)
+        ctr_p = gather_per_class_t(ctr_flat, onehot_c, 2, num_classes)
+        depth_p = gather_per_class_t(depth_flat, onehot_c, 1, num_classes)[:, 0]
+        size_p = gather_per_class_t(size_flat, onehot_c, 3, num_classes)
+        conf_p = gather_per_class_t(conf_flat, onehot_c, 1, num_classes)[:, 0]
 
-    # One-hot contraction for the canonical-size table lookup (same scalar-
-    # core-gather avoidance as gather_per_class above).
-    canon_oh = jax.nn.one_hot(labels_safe, canon_box_sizes.shape[0], dtype=jnp.float32)
-    canon = jnp.sum(
-        canon_oh[..., None] * canon_box_sizes.astype(jnp.float32)[None, None], axis=-2
-    )  # (B, P, 3) — exact multiply-reduce (see gather_per_class)
-    b, p = labels.shape
-    loc = jnp.broadcast_to(locations[None], (b, p, 2))
-    inv_k = jnp.broadcast_to(inv_intrinsics[:, None], (b, p, 3, 3))
+    # Canonical-size table lookup as the same exact one-hot contraction
+    # (indexed by the true class label even in class-agnostic mode,
+    # fcos3d.py:271).
+    canon = jnp.stack(
+        [jnp.sum(onehot_canon * canon_tbl[None, :, j, None], axis=1) for j in range(3)], axis=1
+    )  # (B, 3, P)
 
-    pred_boxes = predictions_to_boxes3d(
-        quat_p, ctr_p, depth_p, size_p, loc, inv_k, canon,
-        cfg3d.MIN_DEPTH, cfg3d.MAX_DEPTH,
-        scale_depth_by_focal_lengths_factor=cfg3d.SCALE_DEPTH_BY_FOCAL_LENGTHS_FACTOR,
-        scale_depth_by_focal_lengths=cfg3d.SCALE_DEPTH_BY_FOCAL_LENGTHS,
-        quat_is_allocentric=cfg3d.PREDICT_ALLOCENTRIC_ROT,
-        depth_is_distance=cfg3d.PREDICT_DISTANCE,
-    )
+    # --- predictions_to_boxes3d, component-major (fcos3d.py:16-52) ---
+    quat_p = normalize_rows(quat_p, axis=1)
+    depth_d = depth_p
+    if cfg3d.SCALE_DEPTH_BY_FOCAL_LENGTHS:
+        pixel_size = jnp.sqrt(
+            inv_intrinsics[:, 0, 0] ** 2 + inv_intrinsics[:, 1, 1] ** 2
+        )[:, None]  # (B, 1)
+        depth_d = depth_d / (pixel_size * cfg3d.SCALE_DEPTH_BY_FOCAL_LENGTHS_FACTOR)
+    if cfg3d.PREDICT_DISTANCE:
+        from dd3d_tpu.models.loss_geometry import unproject_t
 
-    tgt_vec = targets["box3d_targets"]  # (B, P, 10): quat, proj_ctr, depth, size
-    target_boxes = Boxes3D(
-        quat=tgt_vec[..., 0:4],
-        proj_ctr=tgt_vec[..., 4:6],
-        depth=tgt_vec[..., 6:7],
-        size=tgt_vec[..., 7:10],
-        inv_intrinsics=inv_k,
-    )
+        loc_bp = jnp.broadcast_to(locations.T[None], (labels.shape[0], 2, labels.shape[1]))
+        ray = unproject_t(loc_bp, inv_intrinsics)
+        depth_d = depth_d / jnp.maximum(jnp.sqrt(jnp.sum(ray * ray, axis=1)), EPS)
+    depth_d = jnp.clip(depth_d, cfg3d.MIN_DEPTH, cfg3d.MAX_DEPTH)
+    ctr_d = ctr_p + locations.T[None]  # (B, 2, P)
+    if cfg3d.PREDICT_ALLOCENTRIC_ROT:
+        quat_d = allocentric_to_egocentric_t(quat_p, ctr_d, inv_intrinsics)
+    else:
+        quat_d = quat_p
+    size_d = (jnp.tanh(size_p) + 1.0) * canon  # (B, 3, P)
+
+    # --- disentangled 8-corner loss (disentangled_box3d_loss.py:26-54) ---
+    tq = targets["box3d_targets"][:, 0:4]  # (B, 4, P) egocentric GT quat
+    tc = targets["box3d_targets"][:, 4:6]
+    td = targets["box3d_targets"][:, 6]
+    ts = targets["box3d_targets"][:, 7:10]
+
+    target_corners = corners_t(tq, tc, td, ts, inv_intrinsics)  # (B, 24, P)
 
     weights = fcos2d_info["centerness_targets"]
     loss_denom = fcos2d_info["loss_denom"]
-
-    losses_box3d, l1_err = disentangled_box3d_loss(
-        pred_boxes, target_boxes, weights, pos, loss_denom,
-        smooth_l1_beta=cfg3d.LOSS.SMOOTH_L1_BETA,
-        max_loss_per_group=cfg3d.LOSS.MAX_LOSS_PER_GROUP_DISENT,
-    )
     w3d = cfg3d.LOSS.WEIGHT_BOX3D
-    losses = {k: w3d * v for k, v in losses_box3d.items()}
+    beta = cfg3d.LOSS.SMOOTH_L1_BETA
+
+    losses = {}
+    subs = {
+        "quat": (quat_d, tc, td, ts),
+        "proj_ctr": (tq, ctr_d, td, ts),
+        "depth": (tq, tc, depth_d, ts),
+        "size": (tq, tc, td, size_d),
+    }
+    for key, (q, c, d, s) in subs.items():
+        pred_corners = corners_t(q, c, d, s, inv_intrinsics)
+        elem = smooth_l1_loss(pred_corners, target_corners, beta)  # (B, 24, P)
+        per_loc = jnp.mean(elem, axis=1)  # (B, P)
+        losses[f"loss_box3d_{key}"] = w3d * jnp.sum(per_loc * weights * pos) / loss_denom
+
+    pred_corners_full = corners_t(quat_d, ctr_d, depth_d, size_d, inv_intrinsics)
+    l1_err = jnp.mean(jnp.abs(target_corners - jax.lax.stop_gradient(pred_corners_full)), axis=1)
 
     conf_target = jnp.exp(-l1_err / cfg3d.LOSS.CONF_3D_TEMPERATURE)
     conf_bce = optax_sigmoid_bce(conf_p, jax.lax.stop_gradient(conf_target))

@@ -65,34 +65,39 @@ def nuscenes_dd3d_losses(cfg, outputs, batch, strides=None):
     batch must additionally carry gt_attributes (B, G) with
     MAX_NUM_ATTRIBUTES - 1 == "ignore" and gt_speeds (B, G).
     """
-    from dd3d_tpu.models.dd3d import dd3d_losses, flatten_levels
+    from dd3d_tpu.models.dd3d import dd3d_losses, flatten_levels_t
 
     losses, targets, extra = dd3d_losses(cfg, outputs, batch, return_aux=True, strides=strides)
 
-    attr_flat = flatten_levels(outputs["attr_logits"])  # (B, P, A)
-    speed_flat = flatten_levels(outputs["speed"])[..., 0]  # (B, P)
-    num_attr = attr_flat.shape[-1]
+    attr_flat = flatten_levels_t(outputs["attr_logits"])  # (B, A, P)
+    speed_flat = flatten_levels_t(outputs["speed"])[:, 0]  # (B, P)
+    num_attr = attr_flat.shape[1]
 
     pos_mask = targets["pos_mask"]
     matched = jnp.maximum(targets["target_inds"], 0)
     # Matched-GT lookups as one-hot contractions over G (per-(b, p) gathers
-    # serialize on the TPU scalar core; see prepare_targets.py).
-    onehot_g = jax.nn.one_hot(matched, batch["gt_attributes"].shape[1], dtype=jnp.float32)
+    # serialize on the TPU scalar core; see prepare_targets.py). (B, G, P)
+    # layout: P minor (lane-aligned), G on sublanes — see prepare_targets.py.
+    num_gt = batch["gt_attributes"].shape[1]
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (1, num_gt, 1), 1)
+    onehot_g = (matched[:, None, :] == iota_g).astype(jnp.float32)  # (B, G, P)
     # multiply-reduce, not einsum (exact in fp32; see prepare_targets.py)
-    attr_tgt = jnp.sum(onehot_g * batch["gt_attributes"].astype(jnp.float32)[:, None, :], axis=-1).astype(jnp.int32)
+    attr_tgt = jnp.sum(onehot_g * batch["gt_attributes"].astype(jnp.float32)[:, :, None], axis=1).astype(jnp.int32)
     # NaN GT speeds must survive the contraction (NaN * 0 = NaN), so select
     # the finiteness mask and the zero-filled value separately.
     gt_speeds = batch["gt_speeds"]
-    speed_fin = jnp.sum(onehot_g * jnp.isfinite(gt_speeds).astype(jnp.float32)[:, None, :], axis=-1) > 0.5
-    speed_tgt_val = jnp.sum(onehot_g * jnp.where(jnp.isfinite(gt_speeds), gt_speeds, 0.0)[:, None, :], axis=-1)
+    speed_fin = jnp.sum(onehot_g * jnp.isfinite(gt_speeds).astype(jnp.float32)[:, :, None], axis=1) > 0.5
+    speed_tgt_val = jnp.sum(onehot_g * jnp.where(jnp.isfinite(gt_speeds), gt_speeds, 0.0)[:, :, None], axis=1)
 
     weights = extra["centerness_targets"]  # already pos-masked
 
     # Attributes: ignore id == num_attr - 1 (nuscenes build: 3 per group + ignore).
     attr_valid = (attr_tgt < num_attr - 1) & pos_mask
     attr_safe = jnp.where(attr_valid, attr_tgt, 0)
-    logp = jax.nn.log_softmax(attr_flat, axis=-1)
-    xent = -jnp.sum(logp * jax.nn.one_hot(attr_safe, num_attr, dtype=logp.dtype), axis=-1)
+    logp = jax.nn.log_softmax(attr_flat, axis=1)  # (B, A, P)
+    iota_a = jax.lax.broadcasted_iota(jnp.int32, (1, num_attr, 1), 1)
+    onehot_a = (attr_safe[:, None, :] == iota_a).astype(logp.dtype)
+    xent = -jnp.sum(logp * onehot_a, axis=1)  # (B, P)
     attr_valid_f = attr_valid.astype(jnp.float32)
     attr_w = weights * attr_valid_f
     # Reference-exact (nuscenes_dd3d.py:230-239): mean xent over valid

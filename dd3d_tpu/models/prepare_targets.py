@@ -63,26 +63,30 @@ def prepare_targets(
     center_sample: bool = True,
     pos_radius: float = 1.5,
 ) -> Dict[str, jnp.ndarray]:
-    xs = locations[:, 0][None, :, None]  # (1, P, 1)
-    ys = locations[:, 1][None, :, None]
+    # LAYOUT: every (B, ., .) intermediate is (B, G, P) with the large P axis
+    # minor. TPU tiles the two minor axes to (8 sublanes, 128 lanes); the
+    # previous (B, P, G[, 4]) forms padded G=24 -> 128 lanes (5x) and the
+    # trailing 4 -> 128 (32x), inflating HBM traffic ~25x on every pass.
+    # P pads 10230 -> 10240 (free) and G sits on sublanes.
+    xs = locations[:, 0][None, None, :]  # (1, 1, P)
+    ys = locations[:, 1][None, None, :]
 
-    x1 = gt_boxes2d[..., 0][:, None, :]  # (B, 1, G)
-    y1 = gt_boxes2d[..., 1][:, None, :]
-    x2 = gt_boxes2d[..., 2][:, None, :]
-    y2 = gt_boxes2d[..., 3][:, None, :]
+    x1 = gt_boxes2d[..., 0][:, :, None]  # (B, G, 1)
+    y1 = gt_boxes2d[..., 1][:, :, None]
+    x2 = gt_boxes2d[..., 2][:, :, None]
+    y2 = gt_boxes2d[..., 3][:, :, None]
 
-    l = xs - x1  # (B, P, G)
+    l = xs - x1  # (B, G, P)
     t = ys - y1
     r = x2 - xs
     b = y2 - ys
-    ltrb = jnp.stack([l, t, r, b], axis=-1)  # (B, P, G, 4)
 
     if center_sample:
         # Clamp a radius*stride window around the GT center to the box, then
         # require the location inside that window (prepare_targets.py:179-212).
         cx = (x1 + x2) * 0.5
         cy = (y1 + y2) * 0.5
-        rad = (loc_strides * pos_radius)[None, :, None]  # (1, P, 1)
+        rad = (loc_strides * pos_radius)[None, None, :]  # (1, 1, P)
         gx1 = jnp.maximum(cx - rad, x1)
         gy1 = jnp.maximum(cy - rad, y1)
         gx2 = jnp.minimum(cx + rad, x2)
@@ -91,38 +95,46 @@ def prepare_targets(
             (xs - gx1 > 0) & (gy2 - ys > 0) & (gx2 - xs > 0) & (ys - gy1 > 0)
         )
     else:
-        inside = jnp.min(ltrb, axis=-1) > 0
+        inside = jnp.minimum(jnp.minimum(l, t), jnp.minimum(r, b)) > 0
 
-    max_ltrb = jnp.max(ltrb, axis=-1)  # (B, P, G)
-    cared = (max_ltrb >= loc_size_ranges[None, :, 0:1]) & (max_ltrb <= loc_size_ranges[None, :, 1:2])
+    max_ltrb = jnp.maximum(jnp.maximum(l, t), jnp.maximum(r, b))  # (B, G, P)
+    cared = (max_ltrb >= loc_size_ranges[None, None, :, 0]) & (max_ltrb <= loc_size_ranges[None, None, :, 1])
 
-    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)  # (B, 1, G)
-    area = jnp.broadcast_to(area, inside.shape)
-    cost = jnp.where(inside & cared & gt_valid[:, None, :], area, INF)
+    area = jnp.maximum(x2 - x1, 0.0) * jnp.maximum(y2 - y1, 0.0)  # (B, G, 1)
+    cost = jnp.where(inside & cared & gt_valid[:, :, None], area, INF)  # (B, G, P)
 
-    min_area = jnp.min(cost, axis=-1)  # (B, P)
-    matched = jnp.argmin(cost, axis=-1)  # (B, P)
+    min_area = jnp.min(cost, axis=1)  # (B, P)
+    matched = jnp.argmin(cost, axis=1)  # (B, P), first-min tie-break
 
     pos_mask = min_area < INF
 
     # All matched-GT lookups as one-hot contractions over the (small) G axis:
     # per-(b, p) take_along_axis gathers serialize on the TPU scalar core,
     # while these are dense multiply-reduce ops on the VPU.
-    onehot_g = jax.nn.one_hot(matched, gt_valid.shape[1], dtype=jnp.float32)  # (B, P, G)
+    num_gt = gt_valid.shape[1]
+    iota_g = jax.lax.broadcasted_iota(jnp.int32, (1, num_gt, 1), 1)
+    onehot_g = (matched[:, None, :] == iota_g).astype(jnp.float32)  # (B, G, P)
 
     # multiply-reduce, not einsum: dot_general at default TPU matmul
     # precision truncates fp32 operands to bf16, quantizing the regression
     # targets (ltrb up to ~2000 px has a bf16 step of 8 px).
-    labels = jnp.sum(onehot_g * gt_classes.astype(jnp.float32)[:, None, :], axis=-1).astype(jnp.int32)
+    labels = jnp.sum(onehot_g * gt_classes.astype(jnp.float32)[:, :, None], axis=1).astype(jnp.int32)
     labels = jnp.where(pos_mask, labels, num_classes)
 
-    box2d_reg = jnp.sum(onehot_g[..., None] * ltrb, axis=2)
-    box2d_reg = jnp.where(pos_mask[..., None], box2d_reg, 0.0)
+    def select(comp):  # (B, G, P) -> (B, P)
+        return jnp.sum(onehot_g * comp, axis=1)
 
-    box3d = jnp.sum(onehot_g[..., None] * gt_boxes3d[:, None], axis=2)
+    # Outputs stay component-major (comp on sublanes, P on lanes):
+    # box2d_reg_targets (B, 4, P), box3d_targets (B, 10, P).
+    box2d_reg = jnp.stack([select(l), select(t), select(r), select(b)], axis=1)
+    box2d_reg = jnp.where(pos_mask[:, None, :], box2d_reg, 0.0)
+
+    box3d = jnp.stack(
+        [select(gt_boxes3d[:, :, k][:, :, None]) for k in range(gt_boxes3d.shape[-1])], axis=1
+    )  # (B, 10, P)
     # Neutral padding for negatives: identity quat keeps corner math finite.
     neutral = jnp.asarray([1.0, 0, 0, 0, 0, 0, 1.0, 1.0, 1.0, 1.0], dtype=jnp.float32)
-    box3d = jnp.where(pos_mask[..., None], box3d, neutral)
+    box3d = jnp.where(pos_mask[:, None, :], box3d, neutral[None, :, None])
 
     return {
         "labels": labels.astype(jnp.int32),

@@ -274,7 +274,8 @@ def test_box2d_reg_targets_match_at_positives(kitti_case):
     c = kitti_case
     ref = _ref_flat_to_bp(c["t_targets"]["box2d_reg_targets"], c["B"], STRIDES)
     pos = c["j_targets"]["pos_mask"]
-    np.testing.assert_allclose(ref[pos], c["j_targets"]["box2d_reg_targets"][pos], rtol=0, atol=1e-5)
+    got = np.moveaxis(c["j_targets"]["box2d_reg_targets"], 1, -1)  # (B, 4, P) -> (B, P, 4)
+    np.testing.assert_allclose(ref[pos], got[pos], rtol=0, atol=1e-5)
 
 
 def test_target_inds_match_at_positives(kitti_case):
@@ -298,7 +299,8 @@ def test_box3d_targets_match_at_positives(kitti_case):
     )
     ref = _ref_flat_to_bp(torch.from_numpy(ref), c["B"], STRIDES)
     pos = c["j_targets"]["pos_mask"]
-    np.testing.assert_allclose(ref[pos], c["j_targets"]["box3d_targets"][pos], rtol=0, atol=1e-6)
+    got = np.moveaxis(c["j_targets"]["box3d_targets"], 1, -1)  # (B, 10, P) -> (B, P, 10)
+    np.testing.assert_allclose(ref[pos], got[pos], rtol=0, atol=1e-6)
 
 
 def test_centerness_and_denom_match(kitti_case):

@@ -48,12 +48,12 @@ def test_single_box_assignment():
     assert set(pos_lvl.tolist()) <= {0, 1}
 
     # Regression targets: l + r == box width at positives.
-    reg = np.asarray(t["box2d_reg_targets"])[0][pos]
+    reg = np.moveaxis(np.asarray(t["box2d_reg_targets"]), 1, -1)[0][pos]
     np.testing.assert_allclose(reg[:, 0] + reg[:, 2], 100.0, atol=1e-4)
     np.testing.assert_allclose(reg[:, 1] + reg[:, 3], 100.0, atol=1e-4)
 
     # 3D targets gathered for positives.
-    b3 = np.asarray(t["box3d_targets"])[0][pos]
+    b3 = np.moveaxis(np.asarray(t["box3d_targets"]), 1, -1)[0][pos]
     np.testing.assert_allclose(b3[:, 6], 20.0, atol=1e-5)
 
 
