@@ -316,10 +316,13 @@ def dd3d_inference(
         merged = {k: _take(v) for k, v in merged.items()}
 
     nms_scores = merged[score_key]
+    # the NMS-cap top_k above emits candidates already score-descending
+    pre_sorted = bool(0 < nms_cap < total)
 
     if inf2d.NMS_THRESH > 0 and cfg.DD3D.INFERENCE.DO_NMS:
         def per_image(boxes, scores, classes):
-            return batched_nms_padded(boxes, scores, classes, inf2d.NMS_THRESH, inf2d.POST_NMS_TOPK)
+            return batched_nms_padded(boxes, scores, classes, inf2d.NMS_THRESH, inf2d.POST_NMS_TOPK,
+                                      assume_sorted=pre_sorted)
 
         order, keep = jax.vmap(per_image)(merged["box"], nms_scores, merged["cls"])
     else:

