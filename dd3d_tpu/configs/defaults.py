@@ -207,6 +207,18 @@ def get_cfg() -> CfgNode:
             # tridet/utils/wandb.py); disabled by default, no-op if wandb is
             # not installed.
             "WANDB": {"ENABLED": False, "PROJECT": "dd3d_tpu", "TAGS": []},
+            # Visualization during training/eval (reference
+            # configs/visualizers/common.yaml + scripts/train.py:168-183,
+            # 233-260). Dataloader vis draws GT on the current train batch
+            # every DATALOADER_PERIOD steps; prediction vis caps the images
+            # rendered per evaluation.
+            "VIS": {
+                "DATALOADER_ENABLED": True,
+                "DATALOADER_PERIOD": 1000,
+                "DATALOADER_MAX_NUM_SAMPLES": 10,
+                "PREDICTIONS_ENABLED": True,
+                "PREDICTIONS_MAX_NUM_SAMPLES": 20,
+            },
             "EVAL_ONLY": False,
             "OUTPUT_ROOT": "./outputs",
         }

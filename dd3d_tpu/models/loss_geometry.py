@@ -33,8 +33,11 @@ _CORNER_SIGNS = (
 
 
 def normalize_rows(x: jnp.ndarray, axis: int = 1, eps: float = EPS) -> jnp.ndarray:
-    n = jnp.sqrt(jnp.sum(x * x, axis=axis, keepdims=True))
-    return x / jnp.maximum(n, eps)
+    # floor INSIDE the sqrt: d/ds sqrt(s) at s=0 is inf, so clamping only
+    # after the sqrt still propagates NaN gradients for exactly-zero rows
+    # (e.g. an all-zero predicted quaternion).
+    n = jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=axis, keepdims=True), eps * eps))
+    return x / n
 
 
 def quaternion_to_matrix_t(quat: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
@@ -55,11 +58,16 @@ def matrix_to_quaternion_t(m: Tuple[jnp.ndarray, ...]) -> jnp.ndarray:
     (pytorch3d): pick the best-conditioned candidate per element.
     """
     m00, m01, m02, m10, m11, m12, m20, m21, m22 = m
+    # floor at 1e-12 (not 0): d/dx sqrt(0) = inf, and the unselected
+    # candidates' zero cotangents would make 0 * inf = NaN in the backward —
+    # an identity-like rotation has three exact-zero candidates (same guard
+    # as ops/quaternion.matrix_to_quaternion; unguarded this NaN'd real
+    # training at iter ~20 of the overfit smoke).
     q_abs2 = (
-        jnp.maximum(1.0 + m00 + m11 + m22, 0.0),
-        jnp.maximum(1.0 + m00 - m11 - m22, 0.0),
-        jnp.maximum(1.0 - m00 + m11 - m22, 0.0),
-        jnp.maximum(1.0 - m00 - m11 + m22, 0.0),
+        jnp.maximum(1.0 + m00 + m11 + m22, 1e-12),
+        jnp.maximum(1.0 + m00 - m11 - m22, 1e-12),
+        jnp.maximum(1.0 - m00 + m11 - m22, 1e-12),
+        jnp.maximum(1.0 - m00 - m11 + m22, 1e-12),
     )
     q_abs = tuple(jnp.sqrt(v) for v in q_abs2)
 

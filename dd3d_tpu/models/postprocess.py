@@ -269,6 +269,12 @@ def inference_on_dataset(model, cfg, variables, dataloader, evaluators, jit=True
                     vis = draw_boxes3d(vis, d["quat"][keep], d["tvec"][keep], d["size"][keep],
                                        np.asarray(batch["intrinsics"])[i], d["classes"][keep])
                 save_vis(vis, visualize_dir, f"pred_{d['image_id']}")
+                try:
+                    from dd3d_tpu.utils.events import get_event_storage
+
+                    get_event_storage().put_image(f"predictions/{d['image_id']}", vis)
+                except RuntimeError:
+                    pass  # no active storage (pure-eval CLI without W&B)
                 n_vis += 1
 
     results = {}

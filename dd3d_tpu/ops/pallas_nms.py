@@ -8,8 +8,18 @@ Measured on v5e at the decode size (B=16, N=512): XLA 1.45 ms/batch,
 Pallas 2.02 ms/batch — the masked-reduction scalar extraction (Mosaic has no
 unaligned dynamic lane loads) costs more than XLA's cached row reads at this
 size, so ops/nms.py remains the default; this kernel is kept as the
-measured baseline for larger-N regimes and as the template for fusing decode
-+ suppression in one kernel.
+measured baseline for larger-N regimes.
+
+Round-3 verdict on the "fused decode+suppression kernel" idea (VERDICT r2
+item 4): chained-op profiling at batch 128 split the decode region into
+per-level top-k (the dominant term — fixed by the blocked top-k in
+models/fcos2d.py, 3.96 -> 1.06 ms at the P3 shape) and NMS (3.65 ms total:
+argsort 1.39 [now skipped via assume_sorted], IoU matrix 1.63, fixpoint
+~0.6). With suppression itself at ~0.6 ms/batch and the (N=512)^2 IoU
+matrix at 1.6 ms, the best a fused VMEM kernel could reclaim is ~2 ms of a
+218 ms program (<1%), while this kernel's own suppression loop is already
+slower than XLA's fixpoint at this N. XLA stays ahead; measurements
+committed here per the VERDICT's alternative-done criterion.
 
 Layout: the batch is the pallas grid dimension; boxes are carried as
 (B, 4, N) so the trailing block dims (4, N) satisfy TPU tiling (N is a

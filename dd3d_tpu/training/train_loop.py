@@ -88,6 +88,46 @@ def device_prefetch(data_iter, sharding, depth: int = 2):
                 # will exit via the stop event instead
 
 
+def _visualize_train_batch(batch, output_dir, storage, max_n: int, step: int) -> None:
+    """Draw GT 2D boxes + 3D wireframes on the current train batch and save
+    (+ mirror to W&B via the event storage) — the reference's periodic
+    dataloader visualization (scripts/train.py:168-183)."""
+    import os
+
+    import jax
+
+    from dd3d_tpu.visualizers.draw import draw_boxes2d, draw_boxes3d, save_vis
+
+    def fetch(x):
+        try:
+            return np.asarray(jax.device_get(x))
+        except Exception:  # multi-host global array: use the local shard
+            return np.asarray(x.addressable_shards[0].data)
+
+    imgs = fetch(batch["image"])
+    boxes2d = fetch(batch["gt_boxes2d"])
+    classes = fetch(batch["gt_classes"])
+    boxes3d = fetch(batch["gt_boxes3d"])
+    valid = fetch(batch["gt_valid"])
+    intrinsics = fetch(batch["intrinsics"])
+
+    vis_dir = os.path.join(output_dir, "visualization")
+    for i in range(min(max_n, len(imgs))):
+        sel = valid[i].astype(bool)
+        img = np.clip(imgs[i], 0, 255).astype(np.uint8)
+        vis = draw_boxes2d(img, boxes2d[i][sel], classes[i][sel])
+        vec = boxes3d[i][sel]
+        if vec.shape[-1] == 10:
+            # decode-parameterized GT: tvec = unproject(proj_ctr) * depth
+            inv_k = np.linalg.inv(intrinsics[i].astype(np.float64))
+            uv1 = np.concatenate([vec[:, 4:6], np.ones((len(vec), 1))], axis=1)
+            tvec = (uv1 @ inv_k.T) * vec[:, 6:7]
+            vis = draw_boxes3d(vis, vec[:, :4], tvec, vec[:, 7:10], intrinsics[i], classes[i][sel])
+        save_vis(vis, vis_dir, f"dataloader_step{step:06d}_{i}")
+        if storage is not None:
+            storage.put_image(f"dataloader/{i}", vis, caption=f"step={step}")
+
+
 def create_train_state(cfg, model, sample_batch, rng=None) -> TrainState:
     rng = rng if rng is not None else jax.random.PRNGKey(0)
     # jit the init: one compiled program instead of op-by-op dispatch, and
@@ -177,6 +217,19 @@ def train(
                 raise FloatingPointError(f"Loss diverged at iter {it + 1}: {m}")
             t0 = time.time()
             window_imgs = 0
+
+        vis_cfg = cfg.get("VIS", {})
+        if (
+            output_dir
+            and bool(vis_cfg.get("DATALOADER_ENABLED", False))
+            and int(vis_cfg.get("DATALOADER_PERIOD", 0)) > 0
+            and (it + 1) % int(vis_cfg.get("DATALOADER_PERIOD", 0)) == 0
+            and jax.process_index() == 0
+        ):
+            _visualize_train_batch(
+                batch, output_dir, storage,
+                max_n=int(vis_cfg.get("DATALOADER_MAX_NUM_SAMPLES", 10)), step=it + 1,
+            )
 
         if ckpt is not None and (it + 1) % cfg.SOLVER.CHECKPOINT_PERIOD == 0:
             ckpt.save(it + 1, jax.device_get(state))

@@ -70,6 +70,14 @@ class EventStorage:
         if self._wandb is not None:
             self._wandb.log({name: value}, step=self._step)
 
+    def put_image(self, name: str, image, caption: Optional[str] = None):
+        """Mirror a visualization image (HWC uint8) to W&B when enabled —
+        the reference logs prediction/dataloader mosaics this way
+        (scripts/train.py:177-183,251-260). No-op without wandb (the PNG on
+        disk from visualizers.save_vis remains the durable artifact)."""
+        if self._wandb is not None:
+            self._wandb.log({name: self._wandb.Image(image, caption=caption)}, step=self._step)
+
     def put_scalars(self, **kwargs):
         for k, v in kwargs.items():
             self.put_scalar(k, v)

@@ -383,3 +383,41 @@ def test_nuscenes_attr_speed_losses_match(nusc_case):
         ref = float(nusc_case["t_nusc"][k])
         got = float(nusc_case["j_losses"][k])
         np.testing.assert_allclose(got, ref, rtol=5e-4, err_msg=k)
+
+
+def test_loss_gradients_finite_at_degenerate_rotations():
+    """Identity rotations have three exact-zero matrix_to_quaternion
+    candidates; an unguarded sqrt there makes 0 * inf = NaN cotangents
+    (this NaN'd real training at iter ~20 of the overfit smoke). Zero head
+    outputs + identity GT quats at the principal point hit every degenerate
+    branch at once — the gradient must stay finite."""
+    cfg = get_experiment_cfg("dd3d_kitti_dla34")
+    num_classes = cfg.DD3D.NUM_CLASSES
+    B = 1
+    k = np.array([[355.0, 0.0, 128.0], [0.0, 350.0, 64.0], [0.0, 0.0, 1.0]], np.float32)
+    gt_list = [{
+        "boxes2d": np.array([[118.0, 54.0, 138.0, 74.0]], np.float32),  # centered box
+        "classes": np.zeros(1, np.int64),
+        "quat": np.array([[1.0, 0, 0, 0]], np.float32),  # identity rotation
+        "proj_ctr": np.array([[128.0, 64.0]], np.float32),  # principal point
+        "depth": np.array([[10.0]], np.float32),
+        "size": np.array([[1.6, 3.9, 1.5]], np.float32),
+        "intrinsics": k,
+    }]
+    batch = _jax_batch(gt_list, k[None])
+    shapes = _feature_shapes(STRIDES)
+    C = num_classes
+    outputs = {
+        key: [jnp.zeros((B, hh, ww, c), jnp.float32) for hh, ww in shapes]
+        for key, c in [("logits", C), ("box2d_reg", 4), ("centerness", 1),
+                       ("quat", 4 * C), ("proj_ctr", 2 * C), ("depth", C),
+                       ("size", 3 * C), ("conf", C)]
+    }
+
+    def total(outs):
+        return sum(dd3d_losses(cfg, outs, batch, strides=STRIDES).values())
+
+    val, grads = jax.value_and_grad(total)(outputs)
+    assert np.isfinite(float(val))
+    for leaf in jax.tree_util.tree_leaves(grads):
+        assert np.all(np.isfinite(np.asarray(leaf)))
