@@ -8,8 +8,10 @@ WarmupMultiStepLR (linear warmup to BASE_LR then x GAMMA at each step).
 Rebuilt on optax. bf16 training needs no GradScaler (replaces the AMP
 GradScaler logic of scripts/train.py:105-147).
 """
-from typing import Sequence
+from typing import NamedTuple, Sequence
 
+import jax
+import jax.flatten_util  # registers jax.flatten_util.ravel_pytree
 import jax.numpy as jnp
 import optax
 
@@ -53,11 +55,93 @@ def _wd_mask(params, weight_decay_norm_is_zero: bool):
     return flax.traverse_util.unflatten_dict(mask)
 
 
+class FusedSGDState(NamedTuple):
+    count: jnp.ndarray  # schedule step
+    trace: jnp.ndarray  # flat momentum buffer (fp32, len = total params)
+
+
+def fused_sgd(
+    schedule,
+    momentum: float,
+    nesterov: bool,
+    weight_decay: float,
+    wd_mask_flat,  # np.bool_ vector, len = total params (built once on host)
+    clip_norm: float = 0.0,
+    clip_value: float = 0.0,
+) -> optax.GradientTransformation:
+    """Flat-vector SGD: ravel the whole gradient/param pytree into ONE fp32
+    vector and run clip + weight decay + momentum + lr as a handful of
+    vector ops, instead of the optax chain's per-leaf walk (~250 leaves x
+    ~8 transforms ≈ 2000 tiny HLO ops per step — measured ~8.6 ms of the
+    batch-16 step on v5e; the concat/slice ravel round-trip is ~0.3 ms of
+    HBM traffic at DLA-34's 17M params).
+
+    Semantics match optax.chain(clip?, add_decayed_weights(wd, mask),
+    sgd(schedule, momentum, nesterov)) exactly — pinned by
+    tests/test_fused_sgd.py. The optax trace convention is used
+    (m = g + mu*m, update = g + mu*m_new when nesterov)."""
+
+    def init(params):
+        flat, _ = jax.flatten_util.ravel_pytree(params)
+        return FusedSGDState(count=jnp.zeros((), jnp.int32), trace=jnp.zeros_like(flat))
+
+    def update(grads, state, params):
+        if params is None:
+            raise ValueError("fused_sgd requires params")
+        flat_g, unravel = jax.flatten_util.ravel_pytree(grads)
+        flat_p, _ = jax.flatten_util.ravel_pytree(params)
+        flat_g = flat_g.astype(jnp.float32)
+        if clip_value > 0.0:
+            flat_g = jnp.clip(flat_g, -clip_value, clip_value)
+        if clip_norm > 0.0:
+            gnorm = jnp.sqrt(jnp.sum(flat_g * flat_g))
+            flat_g = flat_g * jnp.minimum(1.0, clip_norm / jnp.maximum(gnorm, 1e-12))
+        if weight_decay > 0.0:
+            flat_g = flat_g + weight_decay * jnp.where(wd_mask_flat, flat_p, 0.0)
+        new_trace = flat_g + momentum * state.trace
+        upd = flat_g + momentum * new_trace if nesterov else new_trace
+        lr = schedule(state.count)
+        flat_upd = -lr * upd
+        return unravel(flat_upd), FusedSGDState(count=state.count + 1, trace=new_trace)
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(cfg, params) -> optax.GradientTransformation:
     sol = cfg.SOLVER
     schedule = warmup_multistep_schedule(
         sol.BASE_LR, sol.STEPS, sol.GAMMA, sol.WARMUP_FACTOR, sol.WARMUP_ITERS, sol.WARMUP_METHOD
     )
+    if bool(sol.get("FUSED_SGD", True)):
+        import numpy as np
+
+        mask_tree = _wd_mask(params, sol.WEIGHT_DECAY_NORM == 0.0)
+        mask_flat = np.concatenate(
+            [
+                np.full(int(np.prod(np.shape(p))), bool(m), np.bool_)
+                for p, m in zip(
+                    jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(mask_tree)
+                )
+            ]
+        )
+        clip_norm = clip_value = 0.0
+        if sol.CLIP_GRADIENTS.ENABLED:
+            if sol.CLIP_GRADIENTS.CLIP_TYPE == "value":
+                clip_value = float(sol.CLIP_GRADIENTS.CLIP_VALUE)
+            else:
+                clip_norm = float(sol.CLIP_GRADIENTS.CLIP_VALUE)
+        tx = fused_sgd(
+            schedule,
+            momentum=sol.MOMENTUM,
+            nesterov=sol.NESTEROV,
+            weight_decay=float(sol.WEIGHT_DECAY),
+            wd_mask_flat=mask_flat,
+            clip_norm=clip_norm,
+            clip_value=clip_value,
+        )
+        if sol.get("ACCUMULATE_GRAD_BATCHES", 1) > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=sol.ACCUMULATE_GRAD_BATCHES)
+        return tx
     chain = []
     if sol.CLIP_GRADIENTS.ENABLED:
         if sol.CLIP_GRADIENTS.CLIP_TYPE == "value":

@@ -13,6 +13,7 @@ rather than a Python-side assert so the step never syncs the host.
 from typing import Any, Dict, Tuple
 
 import jax
+import jax.flatten_util  # registers jax.flatten_util.ravel_pytree
 import jax.numpy as jnp
 import optax
 from flax import struct
@@ -117,7 +118,10 @@ def make_train_step(cfg, model, loss_fn=None):
         new_params = optax.apply_updates(state.params, updates)
 
         metrics = {**losses, "total_loss": total}
-        metrics["grad_norm"] = optax.global_norm(grads)
+        # Flat-vector norm: one concat + one reduction instead of
+        # optax.global_norm's per-leaf walk (~750 tiny HLO ops).
+        flat_g, _ = jax.flatten_util.ravel_pytree(grads)
+        metrics["grad_norm"] = jnp.sqrt(jnp.sum(flat_g.astype(jnp.float32) ** 2))
         metrics["loss_finite"] = jnp.isfinite(total).astype(jnp.float32)
 
         new_state = state.replace(
