@@ -42,9 +42,16 @@ class FrozenBatchNorm(nn.Module):
         bias = self.variable("batch_stats", "bias", nn.initializers.zeros, None, (self.features,), jnp.float32)
         mean = self.variable("batch_stats", "mean", nn.initializers.zeros, None, (self.features,), jnp.float32)
         var = self.variable("batch_stats", "var", nn.initializers.ones, None, (self.features,), jnp.float32)
+        # Fold to (mul, add) in fp32 (per-channel, cheap), then apply in the
+        # ACTIVATION dtype — exactly detectron2's FrozenBatchNorm2d, which
+        # casts scale/bias down with `.to(x.dtype)` before the multiply.
+        # The previous fp32 upcast of the whole activation forced separate
+        # full-resolution convert+affine passes (23 ms/step at batch 40 on
+        # the [B,384,1280,16] stem tensors alone, xplane trace in ROADMAP);
+        # in x.dtype the affine fuses into the producing conv's epilogue.
         mul = scale.value / jnp.sqrt(var.value + self.epsilon)
         add = bias.value - mean.value * mul
-        return (x.astype(jnp.float32) * mul + add).astype(self.dtype)
+        return (x * mul.astype(x.dtype) + add.astype(x.dtype)).astype(self.dtype)
 
 
 def make_norm(norm: str, features: int, dtype=jnp.float32, name: Optional[str] = None):

@@ -98,7 +98,7 @@ def main():
         batch = synth_batch(batch_size)
         state = create_train_state(cfg, model, batch)
         step = jax.jit(make_train_step(cfg, model))
-        _trace(lambda s, b: step(s, b)[1], (state, batch), f"/tmp/jtrace_train{batch_size}")
+        _trace(lambda s, b: step(s, b)[1], (state, batch), f"/tmp/jtrace_train{batch_size}_{os.getpid()}")
     else:
         import jax.numpy as jnp
 
@@ -114,7 +114,7 @@ def main():
         def infer(v, im, intr):
             return dd3d_inference(cfg, model.apply(v, im, train=False), intr)
 
-        _trace(infer, (variables, images, intrinsics), f"/tmp/jtrace_infer{batch_size}")
+        _trace(infer, (variables, images, intrinsics), f"/tmp/jtrace_infer{batch_size}_{os.getpid()}")
 
 
 if __name__ == "__main__":
