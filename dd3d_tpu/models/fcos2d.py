@@ -21,7 +21,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from dd3d_tpu.models.layers import PerLevelNorms, Scale, kaiming_normal_fan_out, kaiming_uniform_a1
+from dd3d_tpu.models.layers import (
+    FoldableConv,
+    PerLevelNorms,
+    Scale,
+    kaiming_normal_fan_out,
+    kaiming_uniform_a1,
+)
 from dd3d_tpu.ops.losses import iou_loss_ltrb_t, optax_sigmoid_bce, sigmoid_focal_loss
 from dd3d_tpu.ops.nms import NEG_INF
 
@@ -73,8 +79,8 @@ class FCOS2DHead(nn.Module):
         tower_bias = self.version == "v1"
 
         cls_convs = [
-            nn.Conv(in_channels, (3, 3), use_bias=tower_bias, dtype=self.dtype, param_dtype=jnp.float32,
-                    kernel_init=kaiming_normal_fan_out, name=f"cls_tower_conv{i}")
+            FoldableConv(in_channels, kernel_size=3, use_bias=tower_bias, dtype=self.dtype,
+                         kernel_init=kaiming_normal_fan_out, name=f"cls_tower_conv{i}")
             for i in range(self.num_cls_convs)
         ]
         cls_norms = [
@@ -82,8 +88,8 @@ class FCOS2DHead(nn.Module):
             for i in range(self.num_cls_convs)
         ]
         box_convs = [
-            nn.Conv(in_channels, (3, 3), use_bias=tower_bias, dtype=self.dtype, param_dtype=jnp.float32,
-                    kernel_init=kaiming_normal_fan_out, name=f"box2d_tower_conv{i}")
+            FoldableConv(in_channels, kernel_size=3, use_bias=tower_bias, dtype=self.dtype,
+                         kernel_init=kaiming_normal_fan_out, name=f"box2d_tower_conv{i}")
             for i in range(self.num_box_convs)
         ]
         box_norms = [
@@ -106,10 +112,15 @@ class FCOS2DHead(nn.Module):
         for l, feat in enumerate(features):
             x_cls = feat
             for conv, norm in zip(cls_convs, cls_norms):
-                x_cls = nn.relu(norm(conv(x_cls), l, train))
+                # At eval the per-level BN running-stat affine folds into
+                # this level's application of the shared tower conv; in
+                # train mode live batch statistics apply as before.
+                fold = norm(None, l, train, fold_query=True)
+                x_cls = nn.relu(conv(x_cls, *fold) if fold is not None else norm(conv(x_cls), l, train))
             x_box = feat
             for conv, norm in zip(box_convs, box_norms):
-                x_box = nn.relu(norm(conv(x_box), l, train))
+                fold = norm(None, l, train, fold_query=True)
+                x_box = nn.relu(conv(x_box, *fold) if fold is not None else norm(conv(x_box), l, train))
 
             logits.append(cls_logits(x_cls))
             ctr_out.append(centerness(x_box))

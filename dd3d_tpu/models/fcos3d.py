@@ -19,7 +19,14 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from dd3d_tpu.models.layers import Offset, PerLevelNorms, Scale, kaiming_normal_fan_out, kaiming_uniform_a1
+from dd3d_tpu.models.layers import (
+    FoldableConv,
+    Offset,
+    PerLevelNorms,
+    Scale,
+    kaiming_normal_fan_out,
+    kaiming_uniform_a1,
+)
 from dd3d_tpu.ops.geometry import allocentric_to_egocentric, unproject_points2d
 from dd3d_tpu.ops.losses import optax_sigmoid_bce, smooth_l1_loss
 from dd3d_tpu.structures.boxes3d import Boxes3D
@@ -50,8 +57,8 @@ class FCOS3DHead(nn.Module):
         nc = 1 if self.class_agnostic else self.num_classes
 
         convs = [
-            nn.Conv(in_channels, (3, 3), use_bias=False, dtype=self.dtype, param_dtype=jnp.float32,
-                    kernel_init=kaiming_normal_fan_out, name=f"box3d_tower_conv{i}")
+            FoldableConv(in_channels, kernel_size=3, use_bias=False, dtype=self.dtype,
+                         kernel_init=kaiming_normal_fan_out, name=f"box3d_tower_conv{i}")
             for i in range(self.num_convs)
         ]
         norms = [
@@ -92,7 +99,11 @@ class FCOS3DHead(nn.Module):
         for l, feat in enumerate(features):
             x = feat
             for conv, norm in zip(convs, norms):
-                x = nn.relu(norm(conv(x), l, train))
+                # Per-level FrozenBN folds into this level's application of
+                # the shared tower conv (kernel*mul is re-derived per level;
+                # the weight-sized multiply is negligible next to the conv).
+                fold = norm(None, l, train, fold_query=True)
+                x = nn.relu(conv(x, *fold) if fold is not None else norm(conv(x), l, train))
             p = l if self.per_level_predictors else 0
             quat = box3d_quat[p](x)
             ctr = box3d_ctr[p](x)

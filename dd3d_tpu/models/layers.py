@@ -13,6 +13,7 @@ TPU-first choices:
 """
 from typing import Any, Callable, Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -30,27 +31,74 @@ class FrozenBatchNorm(nn.Module):
     Equivalent to detectron2's FrozenBatchNorm2d: scale/bias/mean/var all live
     in the (non-trainable) `batch_stats` collection, so the optimizer never
     touches them; values come from init (identity) or a converted checkpoint.
+
+    `folded()` exposes the affine as per-channel (mul, add) in fp32 so a
+    preceding conv can absorb it into its kernel/bias (see FoldableConv) —
+    valid in BOTH train and eval because the statistics never update and the
+    affine params carry no gradient.
     """
 
     features: int
     epsilon: float = 1e-5
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self._scale = self.variable("batch_stats", "scale", nn.initializers.ones, None, (self.features,), jnp.float32)
+        self._bias = self.variable("batch_stats", "bias", nn.initializers.zeros, None, (self.features,), jnp.float32)
+        self._mean = self.variable("batch_stats", "mean", nn.initializers.zeros, None, (self.features,), jnp.float32)
+        self._var = self.variable("batch_stats", "var", nn.initializers.ones, None, (self.features,), jnp.float32)
+
+    def folded(self):
+        """(mul, add) fp32 so that norm(x) == x * mul + add."""
+        mul = self._scale.value / jnp.sqrt(self._var.value + self.epsilon)
+        add = self._bias.value - self._mean.value * mul
+        return mul, add
+
     def __call__(self, x):
-        scale = self.variable("batch_stats", "scale", nn.initializers.ones, None, (self.features,), jnp.float32)
-        bias = self.variable("batch_stats", "bias", nn.initializers.zeros, None, (self.features,), jnp.float32)
-        mean = self.variable("batch_stats", "mean", nn.initializers.zeros, None, (self.features,), jnp.float32)
-        var = self.variable("batch_stats", "var", nn.initializers.ones, None, (self.features,), jnp.float32)
-        # Fold to (mul, add) in fp32 (per-channel, cheap), then apply in the
-        # ACTIVATION dtype — exactly detectron2's FrozenBatchNorm2d, which
-        # casts scale/bias down with `.to(x.dtype)` before the multiply.
-        # The previous fp32 upcast of the whole activation forced separate
-        # full-resolution convert+affine passes (23 ms/step at batch 40 on
-        # the [B,384,1280,16] stem tensors alone, xplane trace in ROADMAP);
-        # in x.dtype the affine fuses into the producing conv's epilogue.
-        mul = scale.value / jnp.sqrt(var.value + self.epsilon)
-        add = bias.value - mean.value * mul
+        # Apply the folded affine in the ACTIVATION dtype — d2's
+        # FrozenBatchNorm2d casts scale/bias down with `.to(x.dtype)`.
+        mul, add = self.folded()
+        return (x * mul.astype(x.dtype) + add.astype(x.dtype)).astype(self.dtype)
+
+
+class FoldableBatchNorm(nn.Module):
+    """Live BatchNorm, equivalent to flax `nn.BatchNorm(momentum=0.9,
+    epsilon=1e-5)` (same param/stat tree: params scale/bias, batch_stats
+    mean/var; A/B-tested in tests/test_norm_folding.py), plus `folded()`
+    exposing the INFERENCE affine (running stats) so a preceding conv can
+    absorb it at eval. Train mode is untouched: batch statistics, running
+    stat updates, and the normalize pass behave exactly like nn.BatchNorm.
+    """
+
+    features: int
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Any = jnp.bfloat16
+
+    def setup(self):
+        self.scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        self.bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        self.ra_mean = self.variable("batch_stats", "mean", nn.initializers.zeros, None, (self.features,), jnp.float32)
+        self.ra_var = self.variable("batch_stats", "var", nn.initializers.ones, None, (self.features,), jnp.float32)
+
+    def folded(self):
+        """(mul, add) fp32 from RUNNING stats: only valid at inference."""
+        mul = self.scale * jax.lax.rsqrt(self.ra_var.value + self.epsilon)
+        add = self.bias - self.ra_mean.value * mul
+        return mul, add
+
+    def __call__(self, x, use_running_average: bool = True):
+        if use_running_average:
+            mean, var = self.ra_mean.value, self.ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(0, 1, 2))
+            var = jnp.mean(xf * xf, axis=(0, 1, 2)) - mean * mean  # fast variance, like flax
+            if not self.is_initializing() and self.is_mutable_collection("batch_stats"):
+                self.ra_mean.value = self.momentum * self.ra_mean.value + (1.0 - self.momentum) * mean
+                self.ra_var.value = self.momentum * self.ra_var.value + (1.0 - self.momentum) * var
+        mul = self.scale * jax.lax.rsqrt(var + self.epsilon)
+        add = self.bias - mean * mul
         return (x * mul.astype(x.dtype) + add.astype(x.dtype)).astype(self.dtype)
 
 
@@ -58,13 +106,7 @@ def make_norm(norm: str, features: int, dtype=jnp.float32, name: Optional[str] =
     """Norm factory mirroring detectron2 `get_norm` for the subset the
     reference uses: BN / FrozenBN / '' (none)."""
     if norm == "BN":
-        return nn.BatchNorm(
-            use_running_average=None,  # set via __call__
-            momentum=0.9,
-            epsilon=1e-5,
-            dtype=dtype,
-            name=name,
-        )
+        return FoldableBatchNorm(features=features, momentum=0.9, epsilon=1e-5, dtype=dtype, name=name)
     if norm == "FrozenBN":
         return FrozenBatchNorm(features=features, dtype=dtype, name=name)
     if norm in ("", None):
@@ -72,11 +114,67 @@ def make_norm(norm: str, features: int, dtype=jnp.float32, name: Optional[str] =
     raise NotImplementedError(f"Norm {norm!r}")
 
 
+# When True (default), a FrozenBN following a conv is absorbed into the conv
+# kernel/bias (exact: y = conv(x, W)*mul + add == conv(x, W*mul) + add).
+# XLA:TPU does NOT fuse broadcast-multiply affines into conv epilogues, so
+# the unfolded form costs a separate full-resolution pass per norm (xplane
+# trace, ROADMAP round-3). Module-global so tests can A/B both paths.
+FOLD_FROZEN_BN = True
+
+
+class FoldableConv(nn.Module):
+    """NHWC conv (flax nn.Conv semantics for the subset ConvNorm uses) whose
+    kernel/bias can absorb a following norm's per-channel affine:
+
+        norm(conv(x) + b) = conv_{W*mul}(x) + (b*mul + add)
+
+    The kernel scaling is a (O,)-broadcast multiply on the WEIGHT (tiny, and
+    done in fp32 before the bf16 cast), and conv+bias is a natively fused
+    TPU op — this removes the separate affine pass over the activation.
+    Parameter path/shape ("kernel" HWIO, optional "bias") matches nn.Conv so
+    checkpoints and the torch converter are unaffected.
+    """
+
+    features: int
+    kernel_size: int = 3
+    strides: int = 1
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = False
+    dtype: Any = jnp.bfloat16
+    kernel_init: Callable = kaiming_normal_fan_out
+
+    @nn.compact
+    def __call__(self, x, mul=None, add=None):
+        k = self.kernel_size
+        cin = x.shape[-1] // self.groups
+        kernel = self.param("kernel", self.kernel_init, (k, k, cin, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32) if self.use_bias else None
+        if mul is not None:
+            kernel = kernel * mul  # fp32, broadcast over the O axis
+            bias = (bias * mul + add) if bias is not None else add
+        p = self.dilation * (k - 1) // 2
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(self.strides, self.strides),
+            padding=[(p, p), (p, p)],
+            rhs_dilation=(self.dilation, self.dilation),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=self.groups,
+        )
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+
 class ConvNorm(nn.Module):
     """Conv -> norm -> activation, like detectron2's Conv2d wrapper.
 
     bias is enabled iff there is no norm, matching the reference convention
-    (e.g. tridet/modeling/feature_extractor/dla.py:28-47).
+    (e.g. tridet/modeling/feature_extractor/dla.py:28-47). FrozenBN norms
+    are folded into the conv (see FoldableConv) — numerically the same op,
+    one less full-resolution pass.
     """
 
     features: int
@@ -93,25 +191,31 @@ class ConvNorm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         use_bias = self.use_bias if self.use_bias is not None else self.norm in ("", None)
-        x = nn.Conv(
+        conv = FoldableConv(
             self.features,
-            (self.kernel_size, self.kernel_size),
+            kernel_size=self.kernel_size,
             strides=self.strides,
-            padding=[(self.dilation * (self.kernel_size - 1) // 2,) * 2] * 2,
-            kernel_dilation=self.dilation,
-            feature_group_count=self.groups,
+            dilation=self.dilation,
+            groups=self.groups,
             use_bias=use_bias,
             dtype=self.dtype,
-            param_dtype=jnp.float32,
             kernel_init=self.kernel_init,
             name="conv",
-        )(x)
+        )
         norm = make_norm(self.norm, self.features, dtype=self.dtype, name="norm")
-        if norm is not None:
-            if isinstance(norm, nn.BatchNorm):
-                x = norm(x, use_running_average=not train)
-            else:
-                x = norm(x)
+        foldable = FOLD_FROZEN_BN and (
+            isinstance(norm, FrozenBatchNorm)
+            or (isinstance(norm, FoldableBatchNorm) and not train)  # running stats at eval
+        )
+        if foldable:
+            x = conv(x, *norm.folded())
+        else:
+            x = conv(x)
+            if norm is not None:
+                if isinstance(norm, (nn.BatchNorm, FoldableBatchNorm)):
+                    x = norm(x, use_running_average=not train)
+                else:
+                    x = norm(x)
         if self.activation is not None:
             x = self.activation(x)
         return x
@@ -153,10 +257,21 @@ class PerLevelNorms(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, level: int, train: bool = False):
+    def __call__(self, x, level: int, train: bool = False, fold_query: bool = False):
         norm = make_norm(self.norm, self.features, dtype=self.dtype, name=f"norm{level}")
+        if fold_query:
+            # Return this level's affine as (mul, add) for conv folding when
+            # the norm is foldable (FrozenBN — train-independent; live BN —
+            # running stats, eval only), else None and the caller applies
+            # the norm conventionally.
+            if FOLD_FROZEN_BN and (
+                isinstance(norm, FrozenBatchNorm)
+                or (isinstance(norm, FoldableBatchNorm) and not train)
+            ):
+                return norm.folded()
+            return None
         if norm is None:
             return x
-        if isinstance(norm, nn.BatchNorm):
+        if isinstance(norm, (nn.BatchNorm, FoldableBatchNorm)):
             return norm(x, use_running_average=not train)
         return norm(x)
