@@ -199,11 +199,17 @@ def get_cfg() -> CfgNode:
                 "MAX_GT_PER_IMAGE": 64,
                 # Run the DLA stem convs in a 2x2 space-to-depth layout
                 # (exact rewrite, identical params; see models/s2d.py).
-                # Measured on v5e @batch 96, 384x1280: the plain stem is
-                # 20.1 ms vs 27.4 s2d / 24.0 fused-base — the 4x FLOP
-                # inflation of dense phase-mixing kernels outweighs the MXU
-                # utilization gain, so the plain stem stays the default.
-                "S2D_STEM": False,
+                # False | True | "train" (s2d for the training graph only).
+                # Measured on v5e, 384x1280: INFERENCE is faster with the
+                # plain stem (20.1 vs 27.4 ms stem region @batch 96 — the 4x
+                # FLOP inflation of dense phase-mixing kernels outweighs the
+                # MXU utilization gain), but TRAINING is faster with s2d
+                # (161.0 vs 154.5 imgs/s @batch 40 — the plain [7,7,3,16]
+                # stem weight-gradient is the step's single worst op, ~17 ms
+                # at ~1% efficiency; xplane trace in ROADMAP). Hence the
+                # default "train": s2d weight-grad layout for training, plain
+                # stem for inference. Both stems share one parameter tree.
+                "S2D_STEM": "train",
                 # Mesh axis names: data-parallel axis.
                 "MESH_AXES": ["data"],
             },

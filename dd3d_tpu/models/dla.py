@@ -203,14 +203,21 @@ class DLA(nn.Module):
     residual_root: bool = False
     out_features: Sequence[str] = ("level3", "level4", "level5")
     norm: str = "BN"
-    s2d_stem: bool = False
+    # False: plain stem; True: s2d stem everywhere; "train": s2d stem for
+    # the training graph only (its weight-gradient layout wins there:
+    # 161.0 vs 154.5 imgs/s at batch 40 on v5e — the [7,7,3,16] stem dW is
+    # the single worst op of the plain train step; the plain stem stays for
+    # inference where s2d's phase-mixed kernels measured slower). The two
+    # stems share a byte-identical parameter tree (tests/test_s2d_stem.py).
+    s2d_stem: Any = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         outputs = {}
         ch = self.channels
-        if self.s2d_stem:
+        use_s2d = self.s2d_stem is True or (self.s2d_stem == "train" and train)
+        if use_s2d:
             x = self._stem_s2d(x, outputs, train)
         else:
             x = self._stem_plain(x, outputs, train)
@@ -296,6 +303,16 @@ DLA_VARIANTS = {
 DLA_STRIDES = {f"level{i}": 2 ** i for i in range(6)}
 
 
+def _coerce_s2d(v):
+    """TPU.S2D_STEM: False | True | "train" (CLI strings accepted)."""
+    if isinstance(v, str):
+        s = v.strip().lower()
+        if s == "train":
+            return "train"
+        return s in ("true", "1", "yes")
+    return bool(v)
+
+
 def _dla_trunk(cfg, dtype):
     name = cfg.FE.BACKBONE.NAME
     levels, channels, block, residual_root = DLA_VARIANTS[name]
@@ -306,7 +323,7 @@ def _dla_trunk(cfg, dtype):
         residual_root=residual_root,
         out_features=tuple(cfg.FE.BACKBONE.OUT_FEATURES),
         norm=cfg.FE.BACKBONE.NORM,
-        s2d_stem=bool(cfg.TPU.get("S2D_STEM", False)),
+        s2d_stem=_coerce_s2d(cfg.TPU.get("S2D_STEM", False)),
         dtype=dtype,
     )
     out_channels = {f"level{i}": channels[i] for i in range(6)}

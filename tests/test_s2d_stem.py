@@ -83,3 +83,40 @@ def test_s2d_stem_matches_plain_frozenbn(rng):
     out_s = s2d.apply(variables, x, train=False)
     for k in out_p:
         np.testing.assert_allclose(np.asarray(out_p[k]), np.asarray(out_s[k]), rtol=1e-4, atol=1e-4)
+
+
+def test_s2d_stem_train_mode_value(rng):
+    """s2d_stem="train": the eval graph is the plain stem (bitwise equal),
+    the train graph is the s2d stem (bitwise equal to s2d_stem=True), and
+    one parameter tree serves both."""
+    from dd3d_tpu.models.dla import DLA
+
+    kw = dict(levels=[1, 1, 1, 2, 2, 1], channels=[16, 32, 64, 128, 256, 512],
+              block=BasicBlock, out_features=("level3", "level4", "level5"),
+              norm="FrozenBN", dtype=jnp.float32)
+    plain = DLA(s2d_stem=False, **kw)
+    s2d = DLA(s2d_stem=True, **kw)
+    hybrid = DLA(s2d_stem="train", **kw)
+
+    x = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32) * 255 - 127)
+    variables = plain.init(jax.random.PRNGKey(0), x, train=False)
+
+    out_h = hybrid.apply(variables, x, train=False)
+    out_p = plain.apply(variables, x, train=False)
+    for k in out_p:
+        np.testing.assert_array_equal(np.asarray(out_h[k]), np.asarray(out_p[k]))
+
+    out_ht = hybrid.apply(variables, x, train=True)
+    out_st = s2d.apply(variables, x, train=True)
+    for k in out_st:
+        np.testing.assert_array_equal(np.asarray(out_ht[k]), np.asarray(out_st[k]))
+
+
+def test_s2d_cli_coercion():
+    from dd3d_tpu.models.dla import _coerce_s2d
+
+    assert _coerce_s2d("train") == "train"
+    assert _coerce_s2d("True") is True
+    assert _coerce_s2d("false") is False
+    assert _coerce_s2d(True) is True
+    assert _coerce_s2d(False) is False
