@@ -210,6 +210,11 @@ def get_cfg() -> CfgNode:
                 # default "train": s2d weight-grad layout for training, plain
                 # stem for inference. Both stems share one parameter tree.
                 "S2D_STEM": "train",
+                # Pack P4..P7 into ONE guard-banded canvas for the shared
+                # FCOS head towers/predictors at eval (models/level_pack.py):
+                # each tower layer becomes 2 conv calls (P3 + packed) instead
+                # of 5, exact numerics. Off until measured on TPU.
+                "PACKED_HEADS": False,
                 # Mesh axis names: data-parallel axis.
                 "MESH_AXES": ["data"],
             },

@@ -49,6 +49,9 @@ class DD3D(nn.Module):
     fcos3d_class_agnostic: bool = False
     mean_depth_per_level: Tuple[float, ...] = ()
     std_depth_per_level: Tuple[float, ...] = ()
+    # Pack P4..P7 into one canvas for the shared heads at eval
+    # (models/level_pack.py) — fewer, better-tiled conv calls, same values.
+    pack_heads_eval: bool = False
     dtype: Any = jnp.bfloat16
 
     def preprocess_image(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -73,6 +76,7 @@ class DD3D(nn.Module):
             use_scale=self.fcos2d_use_scale,
             box2d_scale_init_factor=self.fcos2d_scale_init,
             version=self.fcos2d_version,
+            pack_eval=self.pack_heads_eval,
             dtype=self.dtype,
             name="fcos2d_head",
         )(features, train=train)
@@ -97,6 +101,7 @@ class DD3D(nn.Module):
                 proj_ctr_scale_init_factor=self.fcos3d_proj_ctr_scale_init_factor,
                 per_level_predictors=self.fcos3d_per_level_predictors,
                 class_agnostic=self.fcos3d_class_agnostic,
+                pack_eval=self.pack_heads_eval,
                 dtype=self.dtype,
                 name="fcos3d_head",
             )(features, train=train)
@@ -130,6 +135,7 @@ def build_dd3d(cfg) -> DD3D:
         fcos3d_class_agnostic=cfg.DD3D.FCOS3D.CLASS_AGNOSTIC_BOX3D,
         mean_depth_per_level=tuple(cfg.DD3D.FCOS3D.MEAN_DEPTH_PER_LEVEL),
         std_depth_per_level=tuple(cfg.DD3D.FCOS3D.STD_DEPTH_PER_LEVEL),
+        pack_heads_eval=bool(cfg.TPU.get("PACKED_HEADS", False)),
         dtype=jnp.dtype(cfg.TPU.COMPUTE_DTYPE),
     )
 

@@ -28,6 +28,13 @@ from dd3d_tpu.models.layers import (
     kaiming_normal_fan_out,
     kaiming_uniform_a1,
 )
+from dd3d_tpu.models.level_pack import (
+    build_affine_maps,
+    head_groups,
+    make_pack_plan,
+    pack_levels,
+    unpack_levels,
+)
 from dd3d_tpu.ops.losses import iou_loss_ltrb_t, optax_sigmoid_bce, sigmoid_focal_loss
 from dd3d_tpu.ops.nms import NEG_INF
 
@@ -70,6 +77,10 @@ class FCOS2DHead(nn.Module):
     # relu (fcos2d.py:60-72). Same math when the norm absorbs the bias; kept
     # for config parity with DD3D.FCOS2D._VERSION.
     version: str = "v2"
+    # Pack P4..P7 into one guard-banded canvas at eval so each shared tower
+    # layer is ONE conv call instead of four tiny ones (see level_pack.py;
+    # exact — tests/test_level_pack.py pins equality vs the per-level path).
+    pack_eval: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -109,27 +120,55 @@ class FCOS2DHead(nn.Module):
         )
 
         logits, box_reg_out, ctr_out, cls_tower_out = [], [], [], []
-        for l, feat in enumerate(features):
-            x_cls = feat
-            for conv, norm in zip(cls_convs, cls_norms):
-                # At eval the per-level BN running-stat affine folds into
-                # this level's application of the shared tower conv; in
-                # train mode live batch statistics apply as before.
-                fold = norm(None, l, train, fold_query=True)
-                x_cls = nn.relu(conv(x_cls, *fold) if fold is not None else norm(conv(x_cls), l, train))
-            x_box = feat
-            for conv, norm in zip(box_convs, box_norms):
-                fold = norm(None, l, train, fold_query=True)
-                x_box = nn.relu(conv(x_box, *fold) if fold is not None else norm(conv(x_box), l, train))
+        for group in head_groups(features, self.pack_eval and not train):
+            if len(group) == 1:
+                l = group[0]
+                x_cls = features[l]
+                for conv, norm in zip(cls_convs, cls_norms):
+                    # At eval the per-level BN running-stat affine folds into
+                    # this level's application of the shared tower conv; in
+                    # train mode live batch statistics apply as before.
+                    fold = norm(None, l, train, fold_query=True)
+                    x_cls = nn.relu(conv(x_cls, *fold) if fold is not None else norm(conv(x_cls), l, train))
+                x_box = features[l]
+                for conv, norm in zip(box_convs, box_norms):
+                    fold = norm(None, l, train, fold_query=True)
+                    x_box = nn.relu(conv(x_box, *fold) if fold is not None else norm(conv(x_box), l, train))
 
-            logits.append(cls_logits(x_cls))
-            ctr_out.append(centerness(x_box))
-            reg = box2d_reg(x_box)
-            if scales is not None:
-                reg = scales[l](reg)
-            # relu (improved-FCOS), not exp (fcos2d.py:151).
-            box_reg_out.append(nn.relu(reg))
-            cls_tower_out.append(x_cls)
+                logits.append(cls_logits(x_cls))
+                ctr_out.append(centerness(x_box))
+                reg = box2d_reg(x_box)
+                if scales is not None:
+                    reg = scales[l](reg)
+                # relu (improved-FCOS), not exp (fcos2d.py:151).
+                box_reg_out.append(nn.relu(reg))
+                cls_tower_out.append(x_cls)
+                continue
+
+            # Packed group: one conv per tower layer over a guard-banded
+            # canvas; per-level norms become per-pixel affine maps (zero on
+            # the guard bands, restoring the zero-gap invariant each layer).
+            plan = make_pack_plan([features[l].shape[1:3] for l in group])
+            canvas = pack_levels([features[l] for l in group], plan)
+            x_cls = x_box = canvas
+            for conv, norm in zip(cls_convs, cls_norms):
+                affs = [norm(None, l, train, affine_query=True) for l in group]
+                m, a = build_affine_maps(plan, affs, in_channels, self.dtype)
+                y = conv(x_cls)
+                x_cls = nn.relu(y * m + a)
+            for conv, norm in zip(box_convs, box_norms):
+                affs = [norm(None, l, train, affine_query=True) for l in group]
+                m, a = build_affine_maps(plan, affs, in_channels, self.dtype)
+                y = conv(x_box)
+                x_box = nn.relu(y * m + a)
+
+            logits.extend(unpack_levels(cls_logits(x_cls), plan))
+            ctr_out.extend(unpack_levels(centerness(x_box), plan))
+            for i, reg in enumerate(unpack_levels(box2d_reg(x_box), plan)):
+                if scales is not None:
+                    reg = scales[group[i]](reg)
+                box_reg_out.append(nn.relu(reg))
+            cls_tower_out.extend(unpack_levels(x_cls, plan))
 
         return logits, box_reg_out, ctr_out, cls_tower_out
 

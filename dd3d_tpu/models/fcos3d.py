@@ -27,6 +27,13 @@ from dd3d_tpu.models.layers import (
     kaiming_normal_fan_out,
     kaiming_uniform_a1,
 )
+from dd3d_tpu.models.level_pack import (
+    build_affine_maps,
+    head_groups,
+    make_pack_plan,
+    pack_levels,
+    unpack_levels,
+)
 from dd3d_tpu.ops.geometry import allocentric_to_egocentric, unproject_points2d
 from dd3d_tpu.ops.losses import optax_sigmoid_bce, smooth_l1_loss
 from dd3d_tpu.structures.boxes3d import Boxes3D
@@ -48,6 +55,8 @@ class FCOS3DHead(nn.Module):
     proj_ctr_scale_init_factor: float = 1.0
     per_level_predictors: bool = False
     class_agnostic: bool = False
+    # Pack P4..P7 into one guard-banded canvas at eval (see level_pack.py).
+    pack_eval: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -95,15 +104,7 @@ class FCOS3DHead(nn.Module):
             ]
             offsets_depth = [Offset(float(m), name=f"offset_depth{l}") for l, m in enumerate(self.mean_depth_per_level)]
 
-        quat_out, ctr_out, depth_out, size_out, conf_out = [], [], [], [], []
-        for l, feat in enumerate(features):
-            x = feat
-            for conv, norm in zip(convs, norms):
-                # Per-level FrozenBN folds into this level's application of
-                # the shared tower conv (kernel*mul is re-derived per level;
-                # the weight-sized multiply is negligible next to the conv).
-                fold = norm(None, l, train, fold_query=True)
-                x = nn.relu(conv(x, *fold) if fold is not None else norm(conv(x), l, train))
+        def apply_predictors(x, l):
             p = l if self.per_level_predictors else 0
             quat = box3d_quat[p](x)
             ctr = box3d_ctr[p](x)
@@ -120,6 +121,51 @@ class FCOS3DHead(nn.Module):
             depth_out.append(depth)
             size_out.append(size3d)
             conf_out.append(conf3d)
+
+        quat_out, ctr_out, depth_out, size_out, conf_out = [], [], [], [], []
+        for group in head_groups(features, self.pack_eval and not train):
+            if len(group) == 1:
+                l = group[0]
+                x = features[l]
+                for conv, norm in zip(convs, norms):
+                    # Per-level FrozenBN folds into this level's application
+                    # of the shared tower conv (kernel*mul is re-derived per
+                    # level; the weight-sized multiply is negligible next to
+                    # the conv).
+                    fold = norm(None, l, train, fold_query=True)
+                    x = nn.relu(conv(x, *fold) if fold is not None else norm(conv(x), l, train))
+                apply_predictors(x, l)
+                continue
+
+            # Packed group (eval only): one conv per tower layer over a
+            # guard-banded canvas; per-level norms as per-pixel affine maps
+            # (level_pack.py). Shared predictors run packed too; per-level
+            # predictors / Scales apply after unpacking.
+            plan = make_pack_plan([features[l].shape[1:3] for l in group])
+            x = pack_levels([features[l] for l in group], plan)
+            for conv, norm in zip(convs, norms):
+                affs = [norm(None, l, train, affine_query=True) for l in group]
+                m, a = build_affine_maps(plan, affs, in_channels, self.dtype)
+                x = nn.relu(conv(x) * m + a)
+            if self.per_level_predictors:
+                for i, xl in enumerate(unpack_levels(x, plan)):
+                    apply_predictors(xl, group[i])
+            else:
+                packs = [box3d_quat[0](x), box3d_ctr[0](x), box3d_depth[0](x),
+                         box3d_size[0](x), box3d_conf[0](x)]
+                unpacked = [unpack_levels(p, plan) for p in packs]
+                for i, l in enumerate(group):
+                    quat, ctr, depth, size3d, conf3d = (u[i] for u in unpacked)
+                    if self.use_scale:
+                        ctr = scales_proj_ctr[l](ctr)
+                        size3d = scales_size[l](size3d)
+                        conf3d = scales_conf[l](conf3d)
+                        depth = offsets_depth[l](scales_depth[l](depth))
+                    quat_out.append(quat)
+                    ctr_out.append(ctr)
+                    depth_out.append(depth)
+                    size_out.append(size3d)
+                    conf_out.append(conf3d)
         return quat_out, ctr_out, depth_out, size_out, conf_out
 
 

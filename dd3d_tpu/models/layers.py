@@ -257,8 +257,18 @@ class PerLevelNorms(nn.Module):
     dtype: Any = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, level: int, train: bool = False, fold_query: bool = False):
+    def __call__(self, x, level: int, train: bool = False, fold_query: bool = False,
+                 affine_query: bool = False):
         norm = make_norm(self.norm, self.features, dtype=self.dtype, name=f"norm{level}")
+        if affine_query:
+            # This level's norm as an explicit (mul, add) — for the packed-
+            # levels head path, which applies it as a per-pixel map instead
+            # of folding into the (shared) conv kernel. Eval-only: live BN
+            # is an affine only under running statistics.
+            assert not train, "affine_query is an inference-only path"
+            if norm is None:
+                return None
+            return norm.folded()
         if fold_query:
             # Return this level's affine as (mul, add) for conv folding when
             # the norm is foldable (FrozenBN — train-independent; live BN —
