@@ -215,6 +215,10 @@ def get_cfg() -> CfgNode:
                 # each tower layer becomes 2 conv calls (P3 + packed) instead
                 # of 5, exact numerics. Off until measured on TPU.
                 "PACKED_HEADS": False,
+                # Same packing for the TRAINING graph (live per-level BN
+                # stats from canvas slices; 4 small head-conv dW GEMMs
+                # collapse into 1). Off until measured on TPU.
+                "PACKED_HEADS_TRAIN": False,
                 # Mesh axis names: data-parallel axis.
                 "MESH_AXES": ["data"],
             },

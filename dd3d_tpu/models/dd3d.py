@@ -49,9 +49,12 @@ class DD3D(nn.Module):
     fcos3d_class_agnostic: bool = False
     mean_depth_per_level: Tuple[float, ...] = ()
     std_depth_per_level: Tuple[float, ...] = ()
-    # Pack P4..P7 into one canvas for the shared heads at eval
-    # (models/level_pack.py) — fewer, better-tiled conv calls, same values.
+    # Pack P4..P7 into one canvas for the shared heads (models/level_pack.py)
+    # — fewer, better-tiled conv calls, same values. Separate eval/train
+    # gates: the train variant also computes live per-level BN batch stats
+    # from canvas slices.
     pack_heads_eval: bool = False
+    pack_heads_train: bool = False
     dtype: Any = jnp.bfloat16
 
     def preprocess_image(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -77,6 +80,7 @@ class DD3D(nn.Module):
             box2d_scale_init_factor=self.fcos2d_scale_init,
             version=self.fcos2d_version,
             pack_eval=self.pack_heads_eval,
+            pack_train=self.pack_heads_train,
             dtype=self.dtype,
             name="fcos2d_head",
         )(features, train=train)
@@ -102,6 +106,7 @@ class DD3D(nn.Module):
                 per_level_predictors=self.fcos3d_per_level_predictors,
                 class_agnostic=self.fcos3d_class_agnostic,
                 pack_eval=self.pack_heads_eval,
+                pack_train=self.pack_heads_train,
                 dtype=self.dtype,
                 name="fcos3d_head",
             )(features, train=train)
@@ -136,6 +141,7 @@ def build_dd3d(cfg) -> DD3D:
         mean_depth_per_level=tuple(cfg.DD3D.FCOS3D.MEAN_DEPTH_PER_LEVEL),
         std_depth_per_level=tuple(cfg.DD3D.FCOS3D.STD_DEPTH_PER_LEVEL),
         pack_heads_eval=bool(cfg.TPU.get("PACKED_HEADS", False)),
+        pack_heads_train=bool(cfg.TPU.get("PACKED_HEADS_TRAIN", False)),
         dtype=jnp.dtype(cfg.TPU.COMPUTE_DTYPE),
     )
 

@@ -77,10 +77,14 @@ class FCOS2DHead(nn.Module):
     # relu (fcos2d.py:60-72). Same math when the norm absorbs the bias; kept
     # for config parity with DD3D.FCOS2D._VERSION.
     version: str = "v2"
-    # Pack P4..P7 into one guard-banded canvas at eval so each shared tower
-    # layer is ONE conv call instead of four tiny ones (see level_pack.py;
-    # exact — tests/test_level_pack.py pins equality vs the per-level path).
+    # Pack P4..P7 into one guard-banded canvas so each shared tower layer is
+    # ONE conv call instead of four tiny ones (see level_pack.py; exact —
+    # tests/test_level_pack.py pins equality vs the per-level path).
+    # pack_train additionally packs the TRAINING graph: live per-level BN
+    # batch statistics are computed from the canvas slices (same values),
+    # and the conv backward collapses 4 small dW GEMMs into one.
     pack_eval: bool = False
+    pack_train: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -119,8 +123,9 @@ class FCOS2DHead(nn.Module):
             if self.use_scale else None
         )
 
+        pack = self.pack_train if train else self.pack_eval
         logits, box_reg_out, ctr_out, cls_tower_out = [], [], [], []
-        for group in head_groups(features, self.pack_eval and not train):
+        for group in head_groups(features, pack):
             if len(group) == 1:
                 l = group[0]
                 x_cls = features[l]
@@ -150,17 +155,21 @@ class FCOS2DHead(nn.Module):
             # the guard bands, restoring the zero-gap invariant each layer).
             plan = make_pack_plan([features[l].shape[1:3] for l in group])
             canvas = pack_levels([features[l] for l in group], plan)
+
+            def packed_layer(x, conv, norm):
+                y = conv(x)
+                # In train mode each live norm takes its level's slice to
+                # compute batch statistics (and update running averages).
+                slices = unpack_levels(y, plan) if train else [None] * len(group)
+                affs = [norm(slices[i], l, train, affine_query=True) for i, l in enumerate(group)]
+                m, a = build_affine_maps(plan, affs, in_channels, self.dtype)
+                return nn.relu(y * m + a)
+
             x_cls = x_box = canvas
             for conv, norm in zip(cls_convs, cls_norms):
-                affs = [norm(None, l, train, affine_query=True) for l in group]
-                m, a = build_affine_maps(plan, affs, in_channels, self.dtype)
-                y = conv(x_cls)
-                x_cls = nn.relu(y * m + a)
+                x_cls = packed_layer(x_cls, conv, norm)
             for conv, norm in zip(box_convs, box_norms):
-                affs = [norm(None, l, train, affine_query=True) for l in group]
-                m, a = build_affine_maps(plan, affs, in_channels, self.dtype)
-                y = conv(x_box)
-                x_box = nn.relu(y * m + a)
+                x_box = packed_layer(x_box, conv, norm)
 
             logits.extend(unpack_levels(cls_logits(x_cls), plan))
             ctr_out.extend(unpack_levels(centerness(x_box), plan))

@@ -55,8 +55,10 @@ class FCOS3DHead(nn.Module):
     proj_ctr_scale_init_factor: float = 1.0
     per_level_predictors: bool = False
     class_agnostic: bool = False
-    # Pack P4..P7 into one guard-banded canvas at eval (see level_pack.py).
+    # Pack P4..P7 into one guard-banded canvas (see level_pack.py and the
+    # FCOS2DHead docstring; pack_train covers the training graph).
     pack_eval: bool = False
+    pack_train: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -122,8 +124,9 @@ class FCOS3DHead(nn.Module):
             size_out.append(size3d)
             conf_out.append(conf3d)
 
+        pack = self.pack_train if train else self.pack_eval
         quat_out, ctr_out, depth_out, size_out, conf_out = [], [], [], [], []
-        for group in head_groups(features, self.pack_eval and not train):
+        for group in head_groups(features, pack):
             if len(group) == 1:
                 l = group[0]
                 x = features[l]
@@ -144,9 +147,11 @@ class FCOS3DHead(nn.Module):
             plan = make_pack_plan([features[l].shape[1:3] for l in group])
             x = pack_levels([features[l] for l in group], plan)
             for conv, norm in zip(convs, norms):
-                affs = [norm(None, l, train, affine_query=True) for l in group]
+                y = conv(x)
+                slices = unpack_levels(y, plan) if train else [None] * len(group)
+                affs = [norm(slices[i], l, train, affine_query=True) for i, l in enumerate(group)]
                 m, a = build_affine_maps(plan, affs, in_channels, self.dtype)
-                x = nn.relu(conv(x) * m + a)
+                x = nn.relu(y * m + a)
             if self.per_level_predictors:
                 for i, xl in enumerate(unpack_levels(x, plan)):
                     apply_predictors(xl, group[i])

@@ -87,18 +87,28 @@ class FoldableBatchNorm(nn.Module):
         add = self.bias - self.ra_mean.value * mul
         return mul, add
 
+    def batch_affine(self, x):
+        """(mul, add) fp32 from x's BATCH statistics, updating the running
+        averages — the train-mode normalization as an explicit affine, for
+        callers that apply it elsewhere (e.g. as a per-pixel map over a
+        packed canvas whose slice x is; see level_pack.py)."""
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(0, 1, 2))
+        var = jnp.mean(xf * xf, axis=(0, 1, 2)) - mean * mean  # fast variance, like flax
+        if not self.is_initializing() and self.is_mutable_collection("batch_stats"):
+            self.ra_mean.value = self.momentum * self.ra_mean.value + (1.0 - self.momentum) * mean
+            self.ra_var.value = self.momentum * self.ra_var.value + (1.0 - self.momentum) * var
+        mul = self.scale * jax.lax.rsqrt(var + self.epsilon)
+        add = self.bias - mean * mul
+        return mul, add
+
     def __call__(self, x, use_running_average: bool = True):
         if use_running_average:
             mean, var = self.ra_mean.value, self.ra_var.value
+            mul = self.scale * jax.lax.rsqrt(var + self.epsilon)
+            add = self.bias - mean * mul
         else:
-            xf = x.astype(jnp.float32)
-            mean = jnp.mean(xf, axis=(0, 1, 2))
-            var = jnp.mean(xf * xf, axis=(0, 1, 2)) - mean * mean  # fast variance, like flax
-            if not self.is_initializing() and self.is_mutable_collection("batch_stats"):
-                self.ra_mean.value = self.momentum * self.ra_mean.value + (1.0 - self.momentum) * mean
-                self.ra_var.value = self.momentum * self.ra_var.value + (1.0 - self.momentum) * var
-        mul = self.scale * jax.lax.rsqrt(var + self.epsilon)
-        add = self.bias - mean * mul
+            mul, add = self.batch_affine(x)
         return (x * mul.astype(x.dtype) + add.astype(x.dtype)).astype(self.dtype)
 
 
@@ -263,11 +273,16 @@ class PerLevelNorms(nn.Module):
         if affine_query:
             # This level's norm as an explicit (mul, add) — for the packed-
             # levels head path, which applies it as a per-pixel map instead
-            # of folding into the (shared) conv kernel. Eval-only: live BN
-            # is an affine only under running statistics.
-            assert not train, "affine_query is an inference-only path"
+            # of folding into the (shared) conv kernel. At eval the affine
+            # comes from frozen/running stats; in train mode a live BN
+            # computes BATCH stats from x (the level's slice of the packed
+            # canvas — identical values to the standalone level tensor) and
+            # updates its running averages.
             if norm is None:
                 return None
+            if train and isinstance(norm, FoldableBatchNorm):
+                assert x is not None, "train-mode affine_query needs the level slice"
+                return norm.batch_affine(x)
             return norm.folded()
         if fold_query:
             # Return this level's affine as (mul, add) for conv folding when

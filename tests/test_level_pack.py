@@ -139,6 +139,103 @@ def test_fcos3d_head_packed_matches(rng, per_level_pred):
                                        err_msg=f"{name} level {l}")
 
 
+@pytest.mark.parametrize("norm", ["BN", "FrozenBN"])
+def test_fcos2d_head_packed_train_matches(rng, norm):
+    """pack_train: train-mode outputs, UPDATED batch stats, and parameter
+    gradients all match the per-level path (live BN batch statistics are
+    computed from the canvas slices — identical values)."""
+    shapes = [(16, 16), (8, 8), (4, 4), (2, 2)]
+    feats = _feats(rng, shapes, c=16)
+    kw = dict(num_classes=3, in_strides=(8, 16, 32, 64), num_cls_convs=2, num_box_convs=2,
+              norm=norm, dtype=jnp.float32)
+    ref_head = FCOS2DHead(pack_eval=False, pack_train=False, **kw)
+    pk_head = FCOS2DHead(pack_eval=True, pack_train=True, **kw)
+    variables = ref_head.init(jax.random.PRNGKey(0), feats, train=True)
+
+    def loss(v, head):
+        outs, mut = head.apply(v, feats, train=True, mutable=["batch_stats"])
+        flat = sum(jnp.sum(x * x) for x in jax.tree_util.tree_leaves(outs))
+        return flat, (outs, mut)
+
+    (l_ref, (out_ref, mut_ref)), g_ref = jax.value_and_grad(loss, has_aux=True)(variables, ref_head)
+    (l_pk, (out_pk, mut_pk)), g_pk = jax.value_and_grad(loss, has_aux=True)(variables, pk_head)
+
+    np.testing.assert_allclose(float(l_ref), float(l_pk), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves((out_ref, mut_ref)),
+                    jax.tree_util.tree_leaves((out_pk, mut_pk))):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_leaves_with_path(g_ref), jax.tree_util.tree_leaves_with_path(g_pk)
+    ):
+        a, b = np.asarray(a), np.asarray(b)
+        # conv-backward reduction reordering noise scales with the TENSOR's
+        # magnitude, so small elements need an atol proportional to it.
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5 * max(np.abs(a).max(), 1.0),
+                                   err_msg=str(pa))
+
+
+def test_fcos3d_head_packed_train_matches(rng):
+    shapes = [(16, 16), (8, 8), (4, 4), (2, 2)]
+    feats = _feats(rng, shapes, c=16)
+    kw = dict(num_classes=3, in_strides=(8, 16, 32, 64),
+              mean_depth_per_level=(32.0, 15.0, 8.4, 5.0),
+              std_depth_per_level=(14.7, 7.1, 4.3, 2.4),
+              num_convs=2, norm="BN", dtype=jnp.float32)
+    ref_head = FCOS3DHead(pack_train=False, **kw)
+    pk_head = FCOS3DHead(pack_train=True, **kw)
+    variables = ref_head.init(jax.random.PRNGKey(1), feats, train=True)
+
+    def loss(v, head):
+        outs, mut = head.apply(v, feats, train=True, mutable=["batch_stats"])
+        return sum(jnp.sum(x * x) for x in jax.tree_util.tree_leaves(outs)), (outs, mut)
+
+    (l_ref, (out_ref, mut_ref)), g_ref = jax.value_and_grad(loss, has_aux=True)(variables, ref_head)
+    (l_pk, (out_pk, mut_pk)), g_pk = jax.value_and_grad(loss, has_aux=True)(variables, pk_head)
+    np.testing.assert_allclose(float(l_ref), float(l_pk), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves((out_ref, mut_ref, g_ref)),
+                    jax.tree_util.tree_leaves((out_pk, mut_pk, g_pk))):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5 * max(np.abs(a).max(), 1.0))
+
+
+def test_train_step_packed_heads_matches():
+    """One full jitted train step (shrunk model): PACKED_HEADS_TRAIN on/off
+    must produce the same losses and the same updated params."""
+    from dd3d_tpu.configs import get_experiment_cfg
+    from dd3d_tpu.models import build_model
+    from dd3d_tpu.training.train_loop import create_train_state
+    from dd3d_tpu.training.train_step import make_train_step
+    from test_train_step import _tiny_batch
+
+    def run(packed):
+        cfg = get_experiment_cfg("dd3d_kitti_dla34")
+        cfg.FE.BACKBONE.NAME = "DLA-46-C"
+        cfg.FE.BUILDER = "build_fcos_dla_fpn_backbone_p6"
+        cfg.FE.OUT_FEATURES = ["p3", "p4", "p5", "p6"]
+        cfg.FE.FPN.OUT_CHANNELS = 64
+        cfg.DD3D.FCOS2D.NUM_CLS_CONVS = 1
+        cfg.DD3D.FCOS2D.NUM_BOX_CONVS = 1
+        cfg.DD3D.FCOS3D.NUM_CONVS = 1
+        cfg.TPU.S2D_STEM = False
+        cfg.TPU.PACKED_HEADS_TRAIN = packed
+        model = build_model(cfg)
+        batch = _tiny_batch(2)
+        state = create_train_state(cfg, model, batch)
+        step_fn = jax.jit(make_train_step(cfg, model))
+        state, metrics = step_fn(state, batch)
+        return jax.device_get(state.params), {k: float(v) for k, v in jax.device_get(metrics).items()}
+
+    p_ref, m_ref = run(False)
+    p_pk, m_pk = run(True)
+    for k in m_ref:
+        np.testing.assert_allclose(m_ref[k], m_pk[k], rtol=2e-3, atol=1e-4, err_msg=k)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p_ref), jax.tree_util.tree_leaves_with_path(p_pk)
+    ):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-4 * max(np.abs(a).max(), 1.0),
+                                   err_msg=str(path))
+
+
 def test_fcos2d_head_packed_train_mode_unchanged(rng):
     """pack_eval must not alter the TRAIN graph (live BN per level)."""
     shapes = [(16, 16), (8, 8), (4, 4)]
