@@ -56,6 +56,15 @@ def get_cfg() -> CfgNode:
                     "NORM": "BN",
                     "FUSE_TYPE": "sum",
                 },
+                # BiFPN neck (build_fcos_regnety_bifpn_backbone): channel
+                # count / cell repeats / norm. The reference's regnety yaml
+                # never shipped a feature-extractor config (dead config),
+                # so these are this repo's choices (EfficientDet-D1 scale).
+                "BIFPN": {
+                    "OUT_CHANNELS": 160,
+                    "NUM_REPEATS": 3,
+                    "NORM": "BN",
+                },
                 "OUT_FEATURES": ["p3", "p4", "p5", "p6", "p7"],
             },
             "DD3D": {

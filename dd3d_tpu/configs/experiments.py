@@ -162,8 +162,23 @@ DD3D_NUSC_V99 = {
     "TEST": {**_NUSC_COMMON["TEST"], "IMS_PER_BATCH": 192},
 }
 
+# tridet configs/experiments/dd3d_kitti_regnety_006_bifpn.yaml — a DEAD
+# config upstream (its `regnety_006_bifpn` feature extractor never existed
+# there; SURVEY.md §2.3). Implemented for real here: models/regnet.py +
+# models/bifpn.py. Solver/input/test blocks mirror the yaml (identical to
+# the DLA-34 experiment's), FE block selects the RegNetY-006+BiFPN builder.
+DD3D_KITTI_REGNETY_006_BIFPN = {
+    **DD3D_KITTI_DLA34,
+    "FE": {
+        "BUILDER": "build_fcos_regnety_bifpn_backbone",
+        "BACKBONE": {"NAME": "RegNetY-006", "NORM": "FrozenBN"},
+        "BIFPN": {"NORM": "FrozenBN"},
+    },
+}
+
 EXPERIMENTS = {
     "dd3d_kitti_dla34": DD3D_KITTI_DLA34,
+    "dd3d_kitti_regnety_006_bifpn": DD3D_KITTI_REGNETY_006_BIFPN,
     "dd3d_kitti_dla34_overfit": DD3D_KITTI_DLA34_OVERFIT,
     "dd3d_kitti_v99": DD3D_KITTI_V99,
     "dd3d_nusc_dla34": DD3D_NUSC_DLA34,

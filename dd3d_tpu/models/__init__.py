@@ -30,6 +30,7 @@ def register_backbone(name):
 def build_feature_extractor(cfg):
     """Resolve `cfg.FE.BUILDER`, cf. tridet/modeling/feature_extractor/__init__.py:13-26."""
     import dd3d_tpu.models.dla  # noqa: F401  (populates registry)
+    import dd3d_tpu.models.regnet  # noqa: F401
     import dd3d_tpu.models.vovnet  # noqa: F401
 
     builder = BACKBONE_REGISTRY.get(cfg.FE.BUILDER)
