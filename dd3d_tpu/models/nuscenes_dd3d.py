@@ -18,6 +18,7 @@ from flax import linen as nn
 from dd3d_tpu.models import register_meta_arch
 from dd3d_tpu.models.dd3d import DD3D, build_dd3d
 from dd3d_tpu.models.layers import kaiming_uniform_a1
+from dd3d_tpu.models.level_pack import head_groups, make_pack_plan, pack_levels, unpack_levels
 from dd3d_tpu.ops.losses import smooth_l1_loss
 
 
@@ -38,9 +39,26 @@ class NuscenesDD3D(nn.Module):
             1, (3, 3), dtype=self.base.dtype, param_dtype=jnp.float32,
             kernel_init=kaiming_uniform_a1, name="speed",
         )
-        out["attr_logits"] = [attr_conv(x) for x in out["cls_tower_out"]]
-        # speed is non-negative (relu, nuscenes_dd3d.py:374).
-        out["speed"] = [nn.relu(speed_conv(x)) for x in out["cls_tower_out"]]
+        towers = out["cls_tower_out"]
+        pack = self.base.pack_heads_train if train else self.base.pack_heads_eval
+        groups = head_groups(towers, pack)
+        attr_out, speed_out = [], []
+        for group in groups:
+            if len(group) == 1:
+                x = towers[group[0]]
+                attr_out.append(attr_conv(x))
+                # speed is non-negative (relu, nuscenes_dd3d.py:374).
+                speed_out.append(nn.relu(speed_conv(x)))
+            else:
+                # Shared predictors over the packed small levels — one conv
+                # call instead of len(group) (models/level_pack.py). Guard
+                # bands only pick up the conv bias, and are sliced away.
+                plan = make_pack_plan([towers[l].shape[1:3] for l in group])
+                canvas = pack_levels([towers[l] for l in group], plan)
+                attr_out.extend(unpack_levels(attr_conv(canvas), plan))
+                speed_out.extend(nn.relu(s) for s in unpack_levels(speed_conv(canvas), plan))
+        out["attr_logits"] = attr_out
+        out["speed"] = speed_out
         return out
 
 

@@ -236,6 +236,36 @@ def test_train_step_packed_heads_matches():
                                    err_msg=str(path))
 
 
+def test_nuscenes_attr_speed_packed_matches(rng):
+    """NuscenesDD3D attr/speed predictors: packed vs per-level equality
+    (shrunk nuScenes model, eval mode)."""
+    from dd3d_tpu.configs import get_experiment_cfg
+    from dd3d_tpu.models import build_model
+
+    x = jnp.asarray(rng.rand(1, 128, 128, 3).astype(np.float32) * 255)
+
+    def run(packed, variables=None):
+        cfg = get_experiment_cfg("dd3d_nusc_dla34")
+        cfg.FE.BACKBONE.NAME = "DLA-46-C"
+        cfg.DD3D.FCOS2D.NUM_CLS_CONVS = 1
+        cfg.DD3D.FCOS2D.NUM_BOX_CONVS = 1
+        cfg.DD3D.FCOS3D.NUM_CONVS = 1
+        cfg.TPU.S2D_STEM = False
+        cfg.TPU.COMPUTE_DTYPE = "float32"
+        cfg.TPU.PACKED_HEADS = packed
+        model = build_model(cfg)
+        if variables is None:
+            variables = model.init(jax.random.PRNGKey(0), x, train=False)
+        return variables, model.apply(variables, x, train=False)
+
+    variables, out_ref = run(False)
+    _, out_pk = run(True, variables)
+    for k in ("attr_logits", "speed"):
+        for l, (a, b) in enumerate(zip(out_ref[k], out_pk[k])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=5e-4,
+                                       err_msg=f"{k} level {l}")
+
+
 def test_fcos2d_head_packed_train_mode_unchanged(rng):
     """pack_eval must not alter the TRAIN graph (live BN per level)."""
     shapes = [(16, 16), (8, 8), (4, 4)]
