@@ -16,7 +16,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from dd3d_tpu.models.fpn import _upsample_nearest_2x, c2_xavier_fill
-from dd3d_tpu.models.layers import FoldableConv, make_norm
+from dd3d_tpu.models.layers import ConvNorm, FoldableConv
 
 
 def _maxpool_s2(x: jnp.ndarray) -> jnp.ndarray:
@@ -24,7 +24,9 @@ def _maxpool_s2(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class SepConvBN(nn.Module):
-    """Depthwise 3x3 + pointwise 1x1 + BN (+ swish) — the BiFPN conv."""
+    """Depthwise 3x3 + pointwise 1x1 + BN (+ swish) — the BiFPN conv.
+    The pointwise conv + norm go through ConvNorm so FrozenBN folds into
+    the kernel (the regnety experiment runs BIFPN.NORM=FrozenBN)."""
 
     features: int
     norm: str = "BN"
@@ -36,17 +38,9 @@ class SepConvBN(nn.Module):
         c = x.shape[-1]
         x = FoldableConv(c, kernel_size=3, groups=c, use_bias=False, dtype=self.dtype,
                          kernel_init=c2_xavier_fill, name="dw")(x)
-        x = FoldableConv(self.features, kernel_size=1, use_bias=False, dtype=self.dtype,
-                         kernel_init=c2_xavier_fill, name="pw")(x)
-        norm = make_norm(self.norm, self.features, dtype=self.dtype, name="bn")
-        if norm is not None:
-            from dd3d_tpu.models.layers import FoldableBatchNorm
-
-            if isinstance(norm, FoldableBatchNorm):
-                x = norm(x, use_running_average=not train)
-            else:
-                x = norm(x)
-        return nn.swish(x) if self.activation else x
+        return ConvNorm(self.features, 1, norm=self.norm,
+                        activation=nn.swish if self.activation else None,
+                        dtype=self.dtype, kernel_init=c2_xavier_fill, name="pw")(x, train)
 
 
 class _Fuse(nn.Module):
@@ -120,18 +114,10 @@ class BiFPN(nn.Module):
 
         feats = []
         for f in self.in_features:  # C3, C4, C5 projections
-            y = FoldableConv(self.out_channels, kernel_size=1, use_bias=False,
-                             dtype=self.dtype, kernel_init=c2_xavier_fill,
-                             name=f"proj_{f}")(trunk[f])
-            norm = make_norm(self.norm, self.out_channels, dtype=self.dtype, name=f"proj_{f}_bn")
-            if norm is not None:
-                from dd3d_tpu.models.layers import FoldableBatchNorm
-
-                if isinstance(norm, FoldableBatchNorm):
-                    y = norm(y, use_running_average=not train)
-                else:
-                    y = norm(y)
-            feats.append(y)
+            feats.append(
+                ConvNorm(self.out_channels, 1, norm=self.norm, dtype=self.dtype,
+                         kernel_init=c2_xavier_fill, name=f"proj_{f}")(trunk[f], train)
+            )
         p6 = _maxpool_s2(feats[-1])
         p7 = _maxpool_s2(p6)
         feats = feats + [p6, p7]

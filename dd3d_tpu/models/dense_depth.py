@@ -29,10 +29,17 @@ class DenseDepthHead(nn.Module):
     norm: str = "FrozenBN"
     use_scale: bool = True
     depth_scale_init_factor: float = 0.3
+    # Pack small levels into one canvas for the shared tower (level_pack.py).
+    pack_eval: bool = False
+    pack_train: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
     def __call__(self, features: List[jnp.ndarray], train: bool = False) -> List[jnp.ndarray]:
+        from dd3d_tpu.models.level_pack import (
+            head_groups, make_pack_plan, pack_levels, packed_tower_layer, unpack_levels,
+        )
+
         num_levels = len(features)
         in_channels = features[0].shape[-1]
         convs = [
@@ -49,16 +56,31 @@ class DenseDepthHead(nn.Module):
                     kernel_init=kaiming_uniform_a1, name=f"dense_depth{l}")
             for l in range(num_levels)
         ]
-        out = []
-        for l, feat in enumerate(features):
-            x = feat
-            for conv, norm in zip(convs, norms):
-                x = nn.relu(norm(conv(x), l, train))
+
+        def predict(x, l):
             d = preds[l](x)
             if self.use_scale:
                 d = Scale(float(self.std_depth_per_level[l]) * self.depth_scale_init_factor, name=f"scale_depth{l}")(d)
                 d = Offset(float(self.mean_depth_per_level[l]), name=f"offset_depth{l}")(d)
-            out.append(d)
+            return d
+
+        out = []
+        pack = self.pack_train if train else self.pack_eval
+        for group in head_groups(features, pack):
+            if len(group) == 1:
+                l = group[0]
+                x = features[l]
+                for conv, norm in zip(convs, norms):
+                    x = nn.relu(norm(conv(x), l, train))
+                out.append(predict(x, l))
+            else:
+                plan = make_pack_plan([features[l].shape[1:3] for l in group])
+                x = pack_levels([features[l] for l in group], plan)
+                for conv, norm in zip(convs, norms):
+                    x = packed_tower_layer(x, conv, norm, plan, group, in_channels,
+                                           self.dtype, train)
+                for i, xl in enumerate(unpack_levels(x, plan)):
+                    out.append(predict(xl, group[i]))
         return out
 
 
@@ -78,6 +100,8 @@ class DD3DDenseDepth(nn.Module):
     scale_depth_by_focal_lengths: bool = True
     scale_depth_by_focal_lengths_factor: float = 500.0
     locations_offset: str = "none"
+    pack_heads_eval: bool = False
+    pack_heads_train: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -97,6 +121,8 @@ class DD3DDenseDepth(nn.Module):
             norm=self.norm,
             use_scale=self.use_scale,
             depth_scale_init_factor=self.depth_scale_init_factor,
+            pack_eval=self.pack_heads_eval,
+            pack_train=self.pack_heads_train,
             dtype=self.dtype,
             name="fcos3d_head",
         )(features, train=train)
@@ -131,6 +157,8 @@ def build_dd3d_dense_depth(cfg) -> DD3DDenseDepth:
         scale_depth_by_focal_lengths=cfg.DD3D.FCOS3D.SCALE_DEPTH_BY_FOCAL_LENGTHS,
         scale_depth_by_focal_lengths_factor=cfg.DD3D.FCOS3D.SCALE_DEPTH_BY_FOCAL_LENGTHS_FACTOR,
         locations_offset=cfg.DD3D.FEATURE_LOCATIONS_OFFSET,
+        pack_heads_eval=bool(cfg.TPU.get("PACKED_HEADS", False)),
+        pack_heads_train=bool(cfg.TPU.get("PACKED_HEADS_TRAIN", False)),
         dtype=jnp.dtype(cfg.TPU.COMPUTE_DTYPE),
     )
 

@@ -304,12 +304,17 @@ DLA_STRIDES = {f"level{i}": 2 ** i for i in range(6)}
 
 
 def _coerce_s2d(v):
-    """TPU.S2D_STEM: False | True | "train" (CLI strings accepted)."""
+    """TPU.S2D_STEM: False | True | "train" (CLI strings accepted); any
+    other string raises — a typo must not silently disable the stem."""
     if isinstance(v, str):
         s = v.strip().lower()
         if s == "train":
             return "train"
-        return s in ("true", "1", "yes")
+        if s in ("true", "1", "yes"):
+            return True
+        if s in ("false", "0", "no", ""):
+            return False
+        raise ValueError(f"TPU.S2D_STEM must be True/False/'train', got {v!r}")
     return bool(v)
 
 

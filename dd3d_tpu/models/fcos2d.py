@@ -29,10 +29,10 @@ from dd3d_tpu.models.layers import (
     kaiming_uniform_a1,
 )
 from dd3d_tpu.models.level_pack import (
-    build_affine_maps,
     head_groups,
     make_pack_plan,
     pack_levels,
+    packed_tower_layer,
     unpack_levels,
 )
 from dd3d_tpu.ops.losses import iou_loss_ltrb_t, optax_sigmoid_bce, sigmoid_focal_loss
@@ -155,21 +155,13 @@ class FCOS2DHead(nn.Module):
             # the guard bands, restoring the zero-gap invariant each layer).
             plan = make_pack_plan([features[l].shape[1:3] for l in group])
             canvas = pack_levels([features[l] for l in group], plan)
-
-            def packed_layer(x, conv, norm):
-                y = conv(x)
-                # In train mode each live norm takes its level's slice to
-                # compute batch statistics (and update running averages).
-                slices = unpack_levels(y, plan) if train else [None] * len(group)
-                affs = [norm(slices[i], l, train, affine_query=True) for i, l in enumerate(group)]
-                m, a = build_affine_maps(plan, affs, in_channels, self.dtype)
-                return nn.relu(y * m + a)
-
             x_cls = x_box = canvas
             for conv, norm in zip(cls_convs, cls_norms):
-                x_cls = packed_layer(x_cls, conv, norm)
+                x_cls = packed_tower_layer(x_cls, conv, norm, plan, group, in_channels,
+                                           self.dtype, train)
             for conv, norm in zip(box_convs, box_norms):
-                x_box = packed_layer(x_box, conv, norm)
+                x_box = packed_tower_layer(x_box, conv, norm, plan, group, in_channels,
+                                           self.dtype, train)
 
             logits.extend(unpack_levels(cls_logits(x_cls), plan))
             ctr_out.extend(unpack_levels(centerness(x_box), plan))

@@ -28,10 +28,10 @@ from dd3d_tpu.models.layers import (
     kaiming_uniform_a1,
 )
 from dd3d_tpu.models.level_pack import (
-    build_affine_maps,
     head_groups,
     make_pack_plan,
     pack_levels,
+    packed_tower_layer,
     unpack_levels,
 )
 from dd3d_tpu.ops.geometry import allocentric_to_egocentric, unproject_points2d
@@ -140,18 +140,16 @@ class FCOS3DHead(nn.Module):
                 apply_predictors(x, l)
                 continue
 
-            # Packed group (eval only): one conv per tower layer over a
-            # guard-banded canvas; per-level norms as per-pixel affine maps
-            # (level_pack.py). Shared predictors run packed too; per-level
-            # predictors / Scales apply after unpacking.
+            # Packed group: one conv per tower layer over a guard-banded
+            # canvas; per-level norms as per-pixel affine maps (train-mode
+            # live BN stats come from canvas slices — see level_pack.py).
+            # Shared predictors run packed too; per-level predictors /
+            # Scales apply after unpacking.
             plan = make_pack_plan([features[l].shape[1:3] for l in group])
             x = pack_levels([features[l] for l in group], plan)
             for conv, norm in zip(convs, norms):
-                y = conv(x)
-                slices = unpack_levels(y, plan) if train else [None] * len(group)
-                affs = [norm(slices[i], l, train, affine_query=True) for i, l in enumerate(group)]
-                m, a = build_affine_maps(plan, affs, in_channels, self.dtype)
-                x = nn.relu(y * m + a)
+                x = packed_tower_layer(x, conv, norm, plan, group, in_channels,
+                                       self.dtype, train)
             if self.per_level_predictors:
                 for i, xl in enumerate(unpack_levels(x, plan)):
                     apply_predictors(xl, group[i])

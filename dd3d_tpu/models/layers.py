@@ -277,11 +277,14 @@ class PerLevelNorms(nn.Module):
             # comes from frozen/running stats; in train mode a live BN
             # computes BATCH stats from x (the level's slice of the packed
             # canvas — identical values to the standalone level tensor) and
-            # updates its running averages.
+            # updates its running averages. NOTE: FOLD_FROZEN_BN does not
+            # apply here — the packed path never folds into the kernel; the
+            # map IS the unfolded application.
             if norm is None:
                 return None
             if train and isinstance(norm, FoldableBatchNorm):
-                assert x is not None, "train-mode affine_query needs the level slice"
+                if x is None:
+                    raise ValueError("train-mode affine_query needs the level slice for batch stats")
                 return norm.batch_affine(x)
             return norm.folded()
         if fold_query:

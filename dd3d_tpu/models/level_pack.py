@@ -18,11 +18,14 @@ results, provided the guard bands are re-zeroed before every conv:
 - per-level scalar Scales/Offsets and per-level predictor weights are
   applied after unpacking (they are O(output)-sized, not tower-sized).
 
-Packing is used at EVAL only (train-mode live BN needs per-level batch
-statistics over each level's own region; the training graph keeps the
-per-level calls). Layout cost: shelf packing below yields a canvas ~1.15x
-the summed level areas for the shipped FPN shapes, against a 4x reduction
-in head conv calls for the packed group.
+Packing covers BOTH graphs: at eval the affines come from frozen/running
+statistics; in train mode each live BN computes its batch statistics from
+the level's slice of the canvas (identical values to the standalone level
+tensor — the guard bands are excluded by construction) and updates its
+running averages, so outputs, stat updates, and gradients all match the
+per-level path (tests/test_level_pack.py). Layout cost: shelf packing
+below yields a canvas ~1.15x the summed level areas for the shipped FPN
+shapes, against a 4x reduction in head conv calls for the packed group.
 """
 from typing import Any, List, NamedTuple, Optional, Sequence, Tuple
 
@@ -105,6 +108,24 @@ def build_affine_maps(
             add_map, jnp.broadcast_to(add, (lh, lw, channels)), (r, col, 0)
         )
     return mul_map, add_map
+
+
+def packed_tower_layer(x, conv, norm, plan: PackPlan, group, channels: int,
+                       dtype, train: bool, activation=None):
+    """One shared tower layer over a packed canvas: conv -> per-level norm
+    affine as a per-pixel map (re-zeroing the guard bands) -> activation.
+    The single home of the guard-band invariant for all heads (fcos2d,
+    fcos3d, nuscenes) — keep the logic here, not in the callers."""
+    import flax.linen as nn
+
+    y = conv(x)
+    # In train mode each live norm takes its level's slice to compute batch
+    # statistics (and update running averages); frozen norms ignore it.
+    slices = unpack_levels(y, plan) if train else [None] * len(group)
+    affs = [norm(slices[i], l, train, affine_query=True) for i, l in enumerate(group)]
+    m, a = build_affine_maps(plan, affs, channels, dtype)
+    y = y * m + a
+    return activation(y) if activation is not None else nn.relu(y)
 
 
 def head_groups(

@@ -53,6 +53,11 @@ class NuscenesDD3D(nn.Module):
                 # Shared predictors over the packed small levels — one conv
                 # call instead of len(group) (models/level_pack.py). Guard
                 # bands only pick up the conv bias, and are sliced away.
+                # This re-packs slices FCOS2DHead just unpacked from an
+                # identical canvas; threading the canvas through the output
+                # dict would save 4 dynamic_update_slices over ~1.5 MB —
+                # negligible next to the saved convs, not worth widening
+                # the meta-arch output contract.
                 plan = make_pack_plan([towers[l].shape[1:3] for l in group])
                 canvas = pack_levels([towers[l] for l in group], plan)
                 attr_out.extend(unpack_levels(attr_conv(canvas), plan))
