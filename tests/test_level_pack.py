@@ -75,6 +75,34 @@ def test_pack_plan_guard_bands(rng):
     assert np.all(canvas[:, ~mask, :] == 0)
 
 
+def test_pack_plan_fuzz_invariants(rng):
+    """Property test: for random shape lists (tallest-first, like FPN),
+    every plan keeps placements in-bounds, pairwise >=1 px apart
+    (8-connected), and pack->unpack is the identity."""
+    for trial in range(50):
+        n = rng.randint(2, 7)
+        hs = np.sort(rng.randint(1, 40, size=n))[::-1]
+        shapes = [(int(h), int(rng.randint(1, 60))) for h in hs]
+        plan = make_pack_plan(shapes)
+        h, w = plan.canvas_hw
+        boxes = []
+        for (r, c), (lh, lw) in zip(plan.places, plan.shapes):
+            assert 0 <= r and 0 <= c and r + lh <= h and c + lw <= w, (trial, shapes)
+            boxes.append((r, c, lh, lw))
+        for i in range(n):
+            r1, c1, h1, w1 = boxes[i]
+            for j in range(i + 1, n):
+                r2, c2, h2, w2 = boxes[j]
+                # dilate box i by 1 and require no intersection with box j
+                sep = (r1 - 1 >= r2 + h2 or r2 >= r1 + h1 + 1 or
+                       c1 - 1 >= c2 + w2 or c2 >= c1 + w1 + 1)
+                assert sep, (trial, shapes, i, j)
+        feats = [jnp.asarray(rng.randn(1, lh, lw, 4).astype(np.float32)) for lh, lw in shapes]
+        back = unpack_levels(pack_levels(feats, plan), plan)
+        for f, g in zip(feats, back):
+            np.testing.assert_array_equal(np.asarray(f), np.asarray(g))
+
+
 def test_affine_maps_zero_gaps(rng):
     plan = make_pack_plan(FPN_SHAPES)
     c = 8
