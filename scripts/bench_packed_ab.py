@@ -1,6 +1,7 @@
 """A/B: PACKED_HEADS on/off, inference at the bench config (batch 128)."""
 import time, sys, numpy as np, jax, jax.numpy as jnp
-sys.path.insert(0, "/root/repo")
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 t0 = time.time()
 def log(m): print(f"[{time.time()-t0:7.1f}s] {m}", flush=True)
 from dd3d_tpu.configs import get_experiment_cfg

@@ -1,7 +1,8 @@
 """A/B: PACKED_HEADS_TRAIN on/off, full train step at batch 40 (the
 bench_train config: 384x1280, s2d train stem default)."""
 import time, sys, numpy as np, jax, jax.numpy as jnp
-sys.path.insert(0, "/root/repo")
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 t0 = time.time()
 def log(m): print(f"[{time.time()-t0:7.1f}s] {m}", flush=True)
 from dd3d_tpu.configs import get_experiment_cfg
