@@ -321,6 +321,18 @@ def _coerce_s2d(v):
 def _dla_trunk(cfg, dtype):
     name = cfg.FE.BACKBONE.NAME
     levels, channels, block, residual_root = DLA_VARIANTS[name]
+    s2d = _coerce_s2d(cfg.TPU.get("S2D_STEM", False))
+    if s2d == "train":
+        import jax
+
+        if jax.default_backend() == "cpu":
+            # The s2d train stem's dense phase-mixed kernels are
+            # pathologically slow on the CPU backend (tens of seconds per
+            # step — it blew the 30 s Gloo rendezvous in the 2-process
+            # test). "train" means "s2d in the training graph ON TPU";
+            # CPU runs (tests, dryruns) get the plain stem. An explicit
+            # S2D_STEM=True still packs everywhere, on any backend.
+            s2d = False
     trunk = DLA(
         levels=levels,
         channels=channels,
@@ -328,7 +340,7 @@ def _dla_trunk(cfg, dtype):
         residual_root=residual_root,
         out_features=tuple(cfg.FE.BACKBONE.OUT_FEATURES),
         norm=cfg.FE.BACKBONE.NORM,
-        s2d_stem=_coerce_s2d(cfg.TPU.get("S2D_STEM", False)),
+        s2d_stem=s2d,
         dtype=dtype,
     )
     out_channels = {f"level{i}": channels[i] for i in range(6)}

@@ -32,6 +32,11 @@ def tiny_cfg():
     cfg.DD3D.FCOS2D.NUM_CLS_CONVS = 1
     cfg.DD3D.FCOS2D.NUM_BOX_CONVS = 1
     cfg.DD3D.FCOS3D.NUM_CONVS = 1
+    # fp32 forward: the test compares 2-process vs 1-process losses, and a
+    # bf16 forward makes reduction-order noise (~1e-3 rel, compounding
+    # through the SGD update into step 1) indistinguishable from small
+    # transport bugs. In fp32 the two runs agree to ~1e-5.
+    cfg.TPU.COMPUTE_DTYPE = "float32"
     return cfg
 
 
@@ -128,20 +133,34 @@ def run_workload(dataset_name="two_proc_fixture"):
         out_shardings=(repl, repl),
     )
 
-    losses = []
-    for step in range(2):
+    def make_batch(step):
         gb = global_batch(step)
         b = gb["image"].shape[0]
         lo, hi = rank * b // world, (rank + 1) * b // world
         local = {k: v[lo:hi] for k, v in gb.items()}
         if world > 1:
-            batch = {
+            return {
                 k: jax.make_array_from_process_local_data(bsh, np.asarray(v))
                 for k, v in local.items()
             }
-        else:
-            batch = jax.device_put(local, bsh)
-        state, metrics = step_fn(state, batch)
+        return jax.device_put(local, bsh)
+
+    batch0 = make_batch(0)
+    # AOT-compile BEFORE the first execution, then line the ranks up at a
+    # COORDINATION-SERVICE barrier (gRPC, long timeout). On a 1-core box the
+    # two ranks' multi-minute CPU compiles serialize, so without this the
+    # first device collective's Gloo rendezvous (hard 30 s KV timeout) sees
+    # the ranks arrive minutes apart and kills the job.
+    compiled_step = step_fn.lower(state, batch0).compile()
+    if world > 1:
+        from jax._src import distributed
+
+        distributed.global_state.client.wait_at_barrier("dd3d_compiled", 900_000)
+
+    losses = []
+    for step in range(2):
+        batch = batch0 if step == 0 else make_batch(step)
+        state, metrics = compiled_step(state, batch)
         m = jax.device_get(metrics)
         losses.append({k: float(v) for k, v in m.items() if k.startswith("loss") or k == "total_loss"})
 
