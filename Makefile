@@ -23,5 +23,11 @@ overfit:
 vis:
 	$(PYTHON) scripts/visualize_dataloader.py --experiment dd3d_kitti_dla34
 
+# serving-style inference over raw images: make predict IMAGES=/data/frames \
+#   INTRINSICS=721.5,721.5,609.5,172.8 [CKPT=/path/model.pth]
+predict:
+	$(PYTHON) scripts/predict.py --experiment dd3d_kitti_dla34 \
+	  --images $(IMAGES) --intrinsics $(INTRINSICS) $(if $(CKPT),--ckpt $(CKPT))
+
 clean-native:
 	rm -f dd3d_tpu/evaluators/native/*.so
