@@ -26,6 +26,16 @@ running averages, so outputs, stat updates, and gradients all match the
 per-level path (tests/test_level_pack.py). Layout cost: shelf packing
 below yields a canvas ~1.15x the summed level areas for the shipped FPN
 shapes, against a 4x reduction in head conv calls for the packed group.
+
+Measured on v5e (scripts/bench_packed_ab.py, bench_train_packed_ab.py):
+the -41% conv-op-count reduction does NOT pay at the shipped batch sizes —
+inference batch 128: 597.2 unpacked vs 586.4 packed imgs/s (-1.8%);
+train batch 40: 163.0 vs 156.7 imgs/s (-3.9%). The canvas repack/unpack
+copies plus the 1.15x padded-area compute outweigh the dispatch savings
+once the batch axis is large enough to keep the small levels MXU-busy.
+Both gates (TPU.PACKED_HEADS / PACKED_HEADS_TRAIN) therefore default False;
+the path stays exact and tested for small-batch / latency-bound serving
+where per-op dispatch dominates.
 """
 from typing import Any, List, NamedTuple, Optional, Sequence, Tuple
 
