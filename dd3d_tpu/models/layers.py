@@ -131,6 +131,43 @@ def make_norm(norm: str, features: int, dtype=jnp.float32, name: Optional[str] =
 # trace, ROADMAP round-3). Module-global so tests can A/B both paths.
 FOLD_FROZEN_BN = True
 
+# Opt-in int8 post-training-quantized inference (v5e int8 MXU peak is 2x
+# bf16). When True, every NORM-FOLDED conv (i.e. the eval-graph backbone /
+# FPN-with-norm / head-tower convs — exactly the convs that receive a folded
+# affine; predictors and norm-free convs stay bf16) runs as a dynamic-PTQ
+# int8 conv: per-output-channel symmetric weight scales, per-tensor dynamic
+# activation scale, int8xint8->int32 accumulation, fp32 dequant. No
+# calibration pass is needed and checkpoints are unchanged. Module-global
+# like FOLD_FROZEN_BN: toggle BEFORE tracing (tests and bench A/Bs set it
+# around their own jit builds); default off — this is an accuracy/speed
+# trade (see tests/test_int8_infer.py for the measured numeric drift).
+QUANT_INT8 = False
+
+
+def _int8_conv(x, kernel, *, strides, padding, rhs_dilation, groups, out_dtype):
+    """Dynamic-PTQ int8 conv: returns dequantized activations in out_dtype.
+
+    kernel is the fp32 (possibly norm-folded) HWIO weight. Scales:
+    weights per output channel (exact symmetric max/127), activations one
+    dynamic per-tensor scale (a VPU reduce over x — cheap next to the conv).
+    """
+    xf = x.astype(jnp.float32)
+    xs = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
+    ws = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12) / 127.0  # (O,)
+    wq = jnp.clip(jnp.round(kernel / ws), -127, 127).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq,
+        wq,
+        window_strides=strides,
+        padding=padding,
+        rhs_dilation=rhs_dilation,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * (xs * ws)).astype(out_dtype)
+
 
 class FoldableConv(nn.Module):
     """NHWC conv (flax nn.Conv semantics for the subset ConvNorm uses) whose
@@ -164,15 +201,29 @@ class FoldableConv(nn.Module):
             kernel = kernel * mul  # fp32, broadcast over the O axis
             bias = (bias * mul + add) if bias is not None else add
         p = self.dilation * (k - 1) // 2
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            kernel.astype(self.dtype),
-            window_strides=(self.strides, self.strides),
-            padding=[(p, p), (p, p)],
-            rhs_dilation=(self.dilation, self.dilation),
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=self.groups,
-        )
+        if QUANT_INT8 and mul is not None:
+            # Folded convs exist only in eval graphs (and FrozenBN trains);
+            # quantizing exactly this set covers the backbone + towers and
+            # leaves predictors / norm-free convs in bf16.
+            y = _int8_conv(
+                x,
+                kernel,
+                strides=(self.strides, self.strides),
+                padding=[(p, p), (p, p)],
+                rhs_dilation=(self.dilation, self.dilation),
+                groups=self.groups,
+                out_dtype=self.dtype,
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                kernel.astype(self.dtype),
+                window_strides=(self.strides, self.strides),
+                padding=[(p, p), (p, p)],
+                rhs_dilation=(self.dilation, self.dilation),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                feature_group_count=self.groups,
+            )
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
