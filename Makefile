@@ -30,4 +30,4 @@ predict:
 	  --images $(IMAGES) --intrinsics $(INTRINSICS) $(if $(CKPT),--ckpt $(CKPT))
 
 clean-native:
-	rm -f dd3d_tpu/evaluators/native/*.so
+	rm -f dd3d_tpu/evaluators/native/*.so dd3d_tpu/data/native/*.so

@@ -61,6 +61,12 @@ class ResizeTransform(Transform):
         # values and therefore AP vs the reference. Per-channel resize is
         # channel-order agnostic, so BGR arrays are fine.
         if img.dtype == np.uint8 and self.interp == cv2.INTER_LINEAR and img.ndim == 3:
+            from dd3d_tpu.data import native
+
+            if native.available():
+                out = native.resize_bilinear(img, self.new_h, self.new_w)
+                if out is not None:
+                    return out
             from PIL import Image
 
             pil = Image.fromarray(img)

@@ -20,6 +20,19 @@ from dd3d_tpu.data.augmentations import Augmentation, TransformList
 
 
 def read_image_bgr(path: str) -> np.ndarray:
+    # Native PNG/JPEG decode (byte-identical to cv2.imread, GIL released;
+    # tests/test_native_imageio.py) with cv2 fallback for anything else.
+    from dd3d_tpu.data import native
+
+    if native.available():
+        try:
+            with open(path, "rb") as f:
+                data = f.read()
+        except OSError:
+            raise FileNotFoundError(path)
+        img = native.decode_bgr(data)
+        if img is not None:
+            return img
     img = cv2.imread(path, cv2.IMREAD_COLOR)
     if img is None:
         raise FileNotFoundError(path)

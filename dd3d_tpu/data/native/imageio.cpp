@@ -1,0 +1,323 @@
+// Native image IO for the host data loader: PNG/JPEG decode + PIL-exact
+// bilinear resize, callable via ctypes with the GIL released.
+//
+// Why this exists: the reference's dataloader cost is cv2.imread + resize in
+// torch DataLoader worker processes (tridet/data/dataset_mappers/
+// dataset_mapper.py:110-127, tridet/data/build.py:123-149). Our measured
+// Python mapper throughput is ~41 imgs/s/core (ROADMAP "loader scaling")
+// against ~600 imgs/s device consumption; decode+resize dominate. This module
+// performs the same two steps in one C call:
+//   - PNG via libpng (lossless: byte-identical to cv2.imread),
+//   - JPEG via libjpeg-turbo decoded straight to BGR,
+//   - resize with a bit-exact reimplementation of Pillow's uint8 bilinear
+//     resampling (fixed-point, antialiased on downscale) so outputs match
+//     the fvcore/PIL path of ResizeTransform.apply_image byte-for-byte
+//     (verified by tests/test_native_imageio.py).
+//
+// All entry points are pure C ABI over caller-allocated buffers; a batch
+// variant parallelizes over images with OpenMP.
+
+#include <cstddef>
+#include <cstdio>
+#include <jpeglib.h>
+#include <png.h>
+#include <csetjmp>
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <cmath>
+#include <vector>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Decode: dims probing
+// ---------------------------------------------------------------------------
+
+// Parses just enough of the header to report (height, width). Returns 0 on
+// success, negative on unknown/corrupt data.
+int32_t image_dims(const uint8_t* buf, int64_t n, int32_t* h, int32_t* w);
+
+// Decodes PNG or JPEG from memory into caller-allocated BGR uint8 (h*w*3),
+// matching cv2.imread(path, IMREAD_COLOR). Returns 0 on success.
+int32_t decode_bgr(const uint8_t* buf, int64_t n, uint8_t* out, int32_t h, int32_t w);
+
+// PIL-exact bilinear resize of interleaved uint8, any channel count.
+int32_t resize_bilinear_u8(const uint8_t* src, int32_t sh, int32_t sw, int32_t c,
+                           uint8_t* dst, int32_t dh, int32_t dw);
+
+// Fused decode + resize (one temp buffer, no Python between the stages).
+int32_t decode_resize_bgr(const uint8_t* buf, int64_t n, int32_t sh, int32_t sw,
+                          uint8_t* out, int32_t dh, int32_t dw);
+
+// OpenMP batch: decode+resize `count` images. bufs/sizes give the encoded
+// bytes; src dims are probed per image; every output is (dh, dw, 3) BGR at
+// out + i*dh*dw*3. Per-image status codes land in `status`.
+void decode_resize_batch(const uint8_t** bufs, const int64_t* sizes, int32_t count,
+                         uint8_t* out, int32_t dh, int32_t dw, int32_t* status);
+}
+
+// ---------------------------------------------------------------------------
+// PNG (libpng simplified API)
+// ---------------------------------------------------------------------------
+
+static int32_t png_dims(const uint8_t* buf, int64_t n, int32_t* h, int32_t* w) {
+    png_image image;
+    memset(&image, 0, sizeof image);
+    image.version = PNG_IMAGE_VERSION;
+    if (!png_image_begin_read_from_memory(&image, buf, (size_t)n)) return -2;
+    *h = (int32_t)image.height;
+    *w = (int32_t)image.width;
+    png_image_free(&image);
+    return 0;
+}
+
+static int32_t png_decode_bgr(const uint8_t* buf, int64_t n, uint8_t* out, int32_t h, int32_t w) {
+    png_image image;
+    memset(&image, 0, sizeof image);
+    image.version = PNG_IMAGE_VERSION;
+    if (!png_image_begin_read_from_memory(&image, buf, (size_t)n)) return -2;
+    if ((int32_t)image.height != h || (int32_t)image.width != w) {
+        png_image_free(&image);
+        return -3;
+    }
+    image.format = PNG_FORMAT_BGR;  // 8-bit BGR, palette/gray/16-bit converted
+    if (!png_image_finish_read(&image, nullptr, out, (png_int_32)(w * 3), nullptr)) {
+        png_image_free(&image);
+        return -4;
+    }
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// JPEG (libjpeg-turbo)
+// ---------------------------------------------------------------------------
+
+struct JErr {
+    jpeg_error_mgr mgr;
+    jmp_buf jump;
+};
+
+static void jerr_exit(j_common_ptr cinfo) {
+    JErr* e = (JErr*)cinfo->err;
+    longjmp(e->jump, 1);
+}
+
+static int32_t jpeg_dims(const uint8_t* buf, int64_t n, int32_t* h, int32_t* w) {
+    jpeg_decompress_struct cinfo;
+    JErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jerr_exit;
+    if (setjmp(jerr.jump)) {
+        jpeg_destroy_decompress(&cinfo);
+        return -2;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, buf, (unsigned long)n);
+    jpeg_read_header(&cinfo, TRUE);
+    *h = (int32_t)cinfo.image_height;
+    *w = (int32_t)cinfo.image_width;
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+static int32_t jpeg_decode_bgr(const uint8_t* buf, int64_t n, uint8_t* out, int32_t h, int32_t w) {
+    jpeg_decompress_struct cinfo;
+    JErr jerr;
+    cinfo.err = jpeg_std_error(&jerr.mgr);
+    jerr.mgr.error_exit = jerr_exit;
+    if (setjmp(jerr.jump)) {
+        jpeg_destroy_decompress(&cinfo);
+        return -2;
+    }
+    jpeg_create_decompress(&cinfo);
+    jpeg_mem_src(&cinfo, buf, (unsigned long)n);
+    jpeg_read_header(&cinfo, TRUE);
+    cinfo.out_color_space = JCS_EXT_BGR;
+    jpeg_start_decompress(&cinfo);
+    if ((int32_t)cinfo.output_height != h || (int32_t)cinfo.output_width != w ||
+        cinfo.output_components != 3) {
+        jpeg_destroy_decompress(&cinfo);
+        return -3;
+    }
+    while (cinfo.output_scanline < cinfo.output_height) {
+        JSAMPROW row = out + (size_t)cinfo.output_scanline * w * 3;
+        jpeg_read_scanlines(&cinfo, &row, 1);
+    }
+    jpeg_finish_decompress(&cinfo);
+    jpeg_destroy_decompress(&cinfo);
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Format dispatch by magic bytes
+// ---------------------------------------------------------------------------
+
+static int fmt_of(const uint8_t* buf, int64_t n) {
+    if (n >= 8 && buf[0] == 0x89 && buf[1] == 'P' && buf[2] == 'N' && buf[3] == 'G') return 1;
+    if (n >= 3 && buf[0] == 0xFF && buf[1] == 0xD8 && buf[2] == 0xFF) return 2;
+    return 0;
+}
+
+extern "C" int32_t image_dims(const uint8_t* buf, int64_t n, int32_t* h, int32_t* w) {
+    switch (fmt_of(buf, n)) {
+        case 1: return png_dims(buf, n, h, w);
+        case 2: return jpeg_dims(buf, n, h, w);
+        default: return -1;
+    }
+}
+
+extern "C" int32_t decode_bgr(const uint8_t* buf, int64_t n, uint8_t* out, int32_t h, int32_t w) {
+    switch (fmt_of(buf, n)) {
+        case 1: return png_decode_bgr(buf, n, out, h, w);
+        case 2: return jpeg_decode_bgr(buf, n, out, h, w);
+        default: return -1;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// PIL-exact bilinear resize (uint8)
+//
+// Reimplements Pillow's ImagingResample for the bilinear (triangle) filter:
+// separable horizontal-then-vertical passes, per-axis coefficient windows in
+// 22-bit fixed point with half-up rounding, intermediate re-quantized to
+// uint8 between the passes — exactly the arithmetic PIL performs, so outputs
+// are byte-identical to Image.resize(..., Image.BILINEAR) (Pillow >= 9,
+// antialiased on downscale because the filter support scales with the
+// downscale factor).
+// ---------------------------------------------------------------------------
+
+static const int PRECISION_BITS = 32 - 8 - 2;  // 22, as in Pillow
+
+static inline uint8_t clip8(int v) {
+    v >>= PRECISION_BITS;  // arithmetic shift, as in Pillow's lookup
+    if (v < 0) return 0;
+    if (v > 255) return 255;
+    return (uint8_t)v;
+}
+
+static inline double tri_filter(double x) {
+    if (x < 0.0) x = -x;
+    return x < 1.0 ? 1.0 - x : 0.0;
+}
+
+// Pillow precompute_coeffs + normalize_coeffs_8bpc for one axis.
+static int precompute_coeffs(int in_size, int out_size, std::vector<int>& bounds,
+                             std::vector<int>& kk) {
+    double scale = (double)in_size / out_size;
+    double filterscale = scale < 1.0 ? 1.0 : scale;
+    double support = 1.0 * filterscale;  // bilinear support = 1.0
+    int ksize = (int)ceil(support) * 2 + 1;
+    bounds.resize((size_t)out_size * 2);
+    std::vector<double> kw((size_t)out_size * ksize);
+    for (int xx = 0; xx < out_size; xx++) {
+        double center = (xx + 0.5) * scale;
+        double ww = 0.0;
+        double ss = 1.0 / filterscale;
+        int xmin = (int)(center - support + 0.5);
+        if (xmin < 0) xmin = 0;
+        int xmax = (int)(center + support + 0.5);
+        if (xmax > in_size) xmax = in_size;
+        xmax -= xmin;
+        double* k = &kw[(size_t)xx * ksize];
+        int x = 0;
+        for (; x < xmax; x++) {
+            double w = tri_filter((x + xmin - center + 0.5) * ss);
+            k[x] = w;
+            ww += w;
+        }
+        for (int i = 0; i < xmax; i++)
+            if (ww != 0.0) k[i] /= ww;
+        for (; x < ksize; x++) k[x] = 0.0;
+        bounds[(size_t)xx * 2] = xmin;
+        bounds[(size_t)xx * 2 + 1] = xmax;
+    }
+    kk.resize((size_t)out_size * ksize);
+    for (size_t i = 0; i < kw.size(); i++) {
+        double v = kw[i] * (1 << PRECISION_BITS);
+        kk[i] = (int)(v < 0 ? v - 0.5 : v + 0.5);
+    }
+    return ksize;
+}
+
+extern "C" int32_t resize_bilinear_u8(const uint8_t* src, int32_t sh, int32_t sw, int32_t c,
+                                      uint8_t* dst, int32_t dh, int32_t dw) {
+    if (sh <= 0 || sw <= 0 || dh <= 0 || dw <= 0 || c <= 0) return -1;
+    const uint8_t* cur = src;
+    int cur_h = sh, cur_w = sw;
+    std::vector<uint8_t> tmp;
+
+    if (dw != sw) {  // horizontal pass
+        std::vector<int> bounds, kk;
+        int ksize = precompute_coeffs(sw, dw, bounds, kk);
+        tmp.resize((size_t)cur_h * dw * c);
+        for (int yy = 0; yy < cur_h; yy++) {
+            const uint8_t* srow = cur + (size_t)yy * cur_w * c;
+            uint8_t* drow = tmp.data() + (size_t)yy * dw * c;
+            for (int xx = 0; xx < dw; xx++) {
+                int xmin = bounds[(size_t)xx * 2];
+                int xmax = bounds[(size_t)xx * 2 + 1];
+                const int* k = &kk[(size_t)xx * ksize];
+                for (int ch = 0; ch < c; ch++) {
+                    int ss = 1 << (PRECISION_BITS - 1);
+                    for (int x = 0; x < xmax; x++)
+                        ss += srow[(size_t)(x + xmin) * c + ch] * k[x];
+                    drow[(size_t)xx * c + ch] = clip8(ss);
+                }
+            }
+        }
+        cur = tmp.data();
+        cur_w = dw;
+    }
+
+    if (dh != cur_h) {  // vertical pass
+        std::vector<int> bounds, kk;
+        int ksize = precompute_coeffs(cur_h, dh, bounds, kk);
+        std::vector<uint8_t> vtmp;
+        uint8_t* out = dst;
+        bool in_place_hazard = (cur == dst);
+        if (in_place_hazard) {
+            vtmp.resize((size_t)dh * cur_w * c);
+            out = vtmp.data();
+        }
+        for (int yy = 0; yy < dh; yy++) {
+            int ymin = bounds[(size_t)yy * 2];
+            int ymax = bounds[(size_t)yy * 2 + 1];
+            const int* k = &kk[(size_t)yy * ksize];
+            uint8_t* drow = out + (size_t)yy * cur_w * c;
+            for (int xc = 0; xc < cur_w * c; xc++) {
+                int ss = 1 << (PRECISION_BITS - 1);
+                for (int y = 0; y < ymax; y++)
+                    ss += cur[(size_t)(y + ymin) * cur_w * c + xc] * k[y];
+                drow[xc] = clip8(ss);
+            }
+        }
+        if (in_place_hazard) memcpy(dst, out, vtmp.size());
+    } else if (cur != dst) {
+        memcpy(dst, cur, (size_t)cur_h * cur_w * c);
+    }
+    return 0;
+}
+
+extern "C" int32_t decode_resize_bgr(const uint8_t* buf, int64_t n, int32_t sh, int32_t sw,
+                                     uint8_t* out, int32_t dh, int32_t dw) {
+    if (sh == dh && sw == dw) return decode_bgr(buf, n, out, sh, sw);
+    std::vector<uint8_t> full((size_t)sh * sw * 3);
+    int32_t rc = decode_bgr(buf, n, full.data(), sh, sw);
+    if (rc != 0) return rc;
+    return resize_bilinear_u8(full.data(), sh, sw, 3, out, dh, dw);
+}
+
+extern "C" void decode_resize_batch(const uint8_t** bufs, const int64_t* sizes, int32_t count,
+                                    uint8_t* out, int32_t dh, int32_t dw, int32_t* status) {
+#pragma omp parallel for schedule(dynamic)
+    for (int32_t i = 0; i < count; i++) {
+        int32_t sh, sw;
+        int32_t rc = image_dims(bufs[i], sizes[i], &sh, &sw);
+        if (rc == 0)
+            rc = decode_resize_bgr(bufs[i], sizes[i], sh, sw,
+                                   out + (size_t)i * dh * dw * 3, dh, dw);
+        status[i] = rc;
+    }
+}
