@@ -13,6 +13,8 @@ import ctypes
 import logging
 import os
 import subprocess
+import threading
+import uuid
 
 import numpy as np
 
@@ -24,6 +26,7 @@ _LIB = os.path.join(_DIR, "libimageio.so")
 
 _lib = None
 _load_failed = False
+_lock = threading.Lock()
 
 _u8p = ctypes.POINTER(ctypes.c_uint8)
 _i32p = ctypes.POINTER(ctypes.c_int32)
@@ -31,8 +34,10 @@ _i32p = ctypes.POINTER(ctypes.c_int32)
 
 def _build():
     # Atomic build-and-replace, same scheme as evaluators/native: concurrent
-    # first-use builds must never CDLL a partially written .so.
-    tmp = f"{_LIB}.{os.getpid()}.tmp"
+    # first-use builds must never CDLL a partially written .so. The tmp name
+    # carries a uuid so two racing builders (threads or processes) never
+    # write the same file.
+    tmp = f"{_LIB}.{os.getpid()}.{uuid.uuid4().hex[:8]}.tmp"
     cmd = ["g++", "-O3", "-fopenmp", "-shared", "-fPIC", _SRC, "-o", tmp, "-lpng", "-ljpeg", "-lz"]
     LOG.info("Building native image IO: %s", " ".join(cmd))
     try:
@@ -47,6 +52,14 @@ def get_lib():
     global _lib, _load_failed
     if _lib is not None or _load_failed:
         return _lib
+    with _lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        return _get_lib_locked()
+
+
+def _get_lib_locked():
+    global _lib, _load_failed
     try:
         if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
             try:
@@ -55,7 +68,15 @@ def get_lib():
                 if not os.path.exists(_LIB):
                     raise
                 LOG.warning("Rebuild of %s failed; using the existing library.", _LIB)
-        lib = ctypes.CDLL(_LIB)
+        try:
+            lib = ctypes.CDLL(_LIB)
+        except OSError:
+            # A stale/ABI-incompatible prebuilt .so (e.g. committed binary
+            # newer than the source after checkout) must not permanently
+            # disable the native path: rebuild once from source and retry.
+            LOG.warning("Loading %s failed; rebuilding from source.", _LIB)
+            _build()
+            lib = ctypes.CDLL(_LIB)
     except Exception as e:  # missing compiler/codec libs: Python fallback
         LOG.warning("Native image IO unavailable (%s); using cv2/PIL.", e)
         _load_failed = True

@@ -82,7 +82,34 @@ static int32_t png_decode_bgr(const uint8_t* buf, int64_t n, uint8_t* out, int32
         png_image_free(&image);
         return -3;
     }
-    image.format = PNG_FORMAT_BGR;  // 8-bit BGR, palette/gray/16-bit converted
+    // 16-bit PNGs: libpng's simplified API treats 16-bit samples as linear and
+    // sRGB-encodes them when narrowing to 8-bit; cv2.imread takes the high
+    // byte. The results differ materially, so refuse and let the Python
+    // caller fall back to cv2 (byte-parity contract, ADVICE r3).
+    if (image.format & PNG_FORMAT_FLAG_LINEAR) {
+        png_image_free(&image);
+        return -5;
+    }
+    if (image.format & PNG_FORMAT_FLAG_ALPHA) {
+        // Requesting PNG_FORMAT_BGR with no background makes libpng composite
+        // the alpha onto whatever bytes are already in the output buffer —
+        // nondeterministic on a fresh np.empty. cv2.imread(IMREAD_COLOR)
+        // drops the alpha channel instead, so decode BGRA and strip.
+        image.format = PNG_FORMAT_BGRA;
+        std::vector<uint8_t> rgba((size_t)h * w * 4);
+        if (!png_image_finish_read(&image, nullptr, rgba.data(), (png_int_32)(w * 4), nullptr)) {
+            png_image_free(&image);
+            return -4;
+        }
+        const uint8_t* s = rgba.data();
+        for (size_t i = 0, px = (size_t)h * w; i < px; i++) {
+            out[i * 3 + 0] = s[i * 4 + 0];
+            out[i * 3 + 1] = s[i * 4 + 1];
+            out[i * 3 + 2] = s[i * 4 + 2];
+        }
+        return 0;
+    }
+    image.format = PNG_FORMAT_BGR;  // 8-bit BGR, palette/gray converted
     if (!png_image_finish_read(&image, nullptr, out, (png_int_32)(w * 3), nullptr)) {
         png_image_free(&image);
         return -4;

@@ -139,6 +139,38 @@ def test_mapper_path_uses_native_and_matches(tmp_path):
     assert np.array_equal(out_native["image"], out_py["image"])
 
 
+def test_png_with_alpha_matches_cv2(tmp_path):
+    """RGBA PNGs: cv2.imread(IMREAD_COLOR) drops alpha; the native path must
+    do the same deterministically (ADVICE r3: compositing onto an
+    uninitialized buffer was nondeterministic)."""
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (60, 90, 4), np.uint8)  # BGRA, random alpha
+    p = str(tmp_path / "a.png")
+    cv2.imwrite(p, img)
+    ref = cv2.imread(p, cv2.IMREAD_COLOR)
+    data = open(p, "rb").read()
+    out1 = native.decode_bgr(data)
+    out2 = native.decode_bgr(data)
+    assert out1 is not None and np.array_equal(out1, out2)  # deterministic
+    assert np.array_equal(ref, out1)  # cv2 drop-alpha semantics
+
+
+def test_png_16bit_falls_back(tmp_path):
+    """16-bit PNGs: libpng's simplified narrowing is sRGB-coded, cv2 takes the
+    high byte — refuse natively so the loader falls back to cv2 (ADVICE r3)."""
+    rng = np.random.RandomState(8)
+    img16 = rng.randint(0, 65536, (40, 50, 3), np.uint16)
+    p = str(tmp_path / "w.png")
+    cv2.imwrite(p, img16)
+    data = open(p, "rb").read()
+    assert native.decode_bgr(data) is None  # native path refuses
+    # and the public load path still works through the fallback:
+    from dd3d_tpu.data.mapper import read_image_bgr
+
+    ref = cv2.imread(p, cv2.IMREAD_COLOR)
+    assert np.array_equal(read_image_bgr(p), ref)
+
+
 def test_corrupt_input_rejected():
     assert native.image_dims(b"not an image") is None
     assert native.decode_bgr(b"\x89PNG\r\n\x1a\ngarbage") is None
