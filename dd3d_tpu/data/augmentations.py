@@ -36,8 +36,12 @@ class Transform:
     def apply_depth(self, depth):
         return depth
 
-    def __call__(self, sample: dict) -> dict:
-        sample["image"] = self.apply_image(sample["image"])
+    def __call__(self, sample: dict, skip_image: bool = False) -> dict:
+        # skip_image: apply only the geometry/annotation handlers — the
+        # loader's fused native decode+resize already produced the image
+        # (mapper `preresized` fast path).
+        if not skip_image:
+            sample["image"] = self.apply_image(sample["image"])
         if "intrinsics" in sample:
             sample["intrinsics"] = self.apply_intrinsics(sample["intrinsics"])
         if "boxes2d" in sample and len(sample["boxes2d"]):

@@ -64,6 +64,44 @@ def _pool_map_sample(args):
     return mappers[fixed_size](_POOL_STATE["dicts"][index], np.random.RandomState(seed))
 
 
+def _native_preresize(dataset_dicts, indices, augmentations):
+    """Fused decode+resize for a whole batch in ONE OpenMP C call (the
+    loader's hot path — cf. reference per-image cv2.imread + resize in
+    DataLoader workers, tridet/data/dataset_mappers/dataset_mapper.py:110-127
+    / build.py:123-149). Applies when the first augmentation is a
+    deterministic single-size ResizeShortestEdge (eval always; train when the
+    batch's resize bucket is fixed and crop is off).
+
+    Returns a list aligned with `indices` of (resized_image, (src_h, src_w))
+    — the mapper's `preresized` argument — with None entries for images the
+    native path refused (per-image fallback), or None when the fast path
+    doesn't apply at all."""
+    from dd3d_tpu.data import native
+    from dd3d_tpu.data.augmentations import ResizeShortestEdge, resize_shortest_edge_dims
+
+    if not augmentations or not isinstance(augmentations[0], ResizeShortestEdge):
+        return None
+    r = augmentations[0]
+    if len(r.short_edge_lengths) != 1 or int(r.short_edge_lengths[0]) == 0:
+        return None
+    if not native.available():
+        return None
+    size, max_size = int(r.short_edge_lengths[0]), r.max_size
+    blobs = []
+    for i in indices:
+        try:
+            with open(dataset_dicts[i]["file_name"], "rb") as f:
+                blobs.append(f.read())
+        except OSError:
+            blobs.append(b"")
+    dims = [native.image_dims(b) if b else None for b in blobs]
+    targets = [resize_shortest_edge_dims(d[0], d[1], size, max_size) if d else None for d in dims]
+    imgs = native.decode_resize_batch_multi(blobs, targets)
+    if imgs is None:
+        return None
+    return [(img, dims[j]) if img is not None else None for j, img in enumerate(imgs)]
+
+
 def print_instances_class_histogram(dataset_dicts, class_names):
     counts = np.zeros(len(class_names), dtype=np.int64)
     for d in dataset_dicts:
@@ -228,10 +266,18 @@ class TrainDataLoader:
                 )
             else:
                 mapper = self.mapper
+            # Batched native decode+resize (one OpenMP call); threads then do
+            # only the geometry/annotation work. Returns None (full per-image
+            # fallback) when crop is on or the resize bucket isn't fixed.
+            pre = _native_preresize(self.dataset_dicts, indices, mapper.augmentations)
+            if pre is None:
+                pre = [None] * len(indices)
             return list(
                 pool.map(
-                    lambda args: mapper(self.dataset_dicts[args[0]], np.random.RandomState(args[1])),
-                    zip(indices, seeds),
+                    lambda args: mapper(
+                        self.dataset_dicts[args[0]], np.random.RandomState(args[1]), preresized=args[2]
+                    ),
+                    zip(indices, seeds, pre),
                 )
             )
 
@@ -325,7 +371,14 @@ class TestDataLoader:
         with ThreadPoolExecutor(max_workers=max(1, self.num_workers)) as pool:
             for i in range(0, len(indices), self.batch_size):
                 chunk = indices[i : i + self.batch_size]
-                samples = list(pool.map(lambda j: self.mapper(self.dataset_dicts[j], rng), chunk))
+                # Test-time resize is deterministic single-size, so the whole
+                # chunk decodes+resizes in one native OpenMP call.
+                pre = _native_preresize(self.dataset_dicts, chunk, self.mapper.augmentations)
+                if pre is None:
+                    pre = [None] * len(chunk)
+                samples = list(pool.map(
+                    lambda a: self.mapper(self.dataset_dicts[a[0]], rng, preresized=a[1]),
+                    zip(chunk, pre)))
                 yield collate_batch(samples, self.max_gt, self.size_divisibility,
                                     want_pose=bool(self.mapper.nuscenes))
 

@@ -54,9 +54,22 @@ class DatasetMapper:
         self.device_jitter_cfg = device_jitter_cfg
 
     def __call__(self, dataset_dict: dict, rng: Optional[np.random.RandomState] = None,
-                 fixed_transforms: Optional[list] = None) -> dict:
+                 fixed_transforms: Optional[list] = None,
+                 preresized: Optional[tuple] = None) -> dict:
+        """preresized, when given, is (resized_bgr_image, (src_h, src_w)) from
+        the loader's fused native decode+resize batch call (one OpenMP C call
+        for the whole batch). The transform list is still drawn from `rng`
+        exactly as without it — only a shape proxy stands in for the decoded
+        image — so the augmentation seed stream and all geometry handling are
+        byte-identical to the per-image path (tests/test_native_imageio.py).
+        If the drawn transforms don't match what the loader pre-applied (it
+        guarantees resize-first), the image is decoded from disk as usual."""
         rng = rng or np.random.RandomState()
-        image = read_image_bgr(dataset_dict["file_name"])
+        if preresized is not None:
+            # get_transform implementations only read image.shape
+            image = np.broadcast_to(np.zeros((), np.uint8), (*preresized[1], 3))
+        else:
+            image = read_image_bgr(dataset_dict["file_name"])
 
         annos = dataset_dict.get("annotations", [])
         boxes2d = np.asarray([a["bbox"] for a in annos], dtype=np.float32).reshape(-1, 4)
@@ -80,7 +93,24 @@ class DatasetMapper:
             tfms = TransformList(fixed_transforms)
         else:
             tfms = TransformList([aug.get_transform(sample["image"], rng) for aug in self.augmentations])
-        sample = tfms(sample)
+        if preresized is not None:
+            from dd3d_tpu.data.augmentations import ResizeTransform
+
+            img, (src_h, src_w) = preresized
+            t0 = tfms.tfms[0] if tfms.tfms else None
+            if (isinstance(t0, ResizeTransform) and (t0.h, t0.w) == (src_h, src_w)
+                    and (t0.new_h, t0.new_w) == img.shape[:2]):
+                sample = t0(sample, skip_image=True)
+                sample["image"] = img
+                for t in tfms.tfms[1:]:
+                    sample = t(sample)
+            else:
+                # drawn transforms disagree with the pre-applied resize
+                # (e.g. crop enabled): decode from disk and run normally
+                sample["image"] = read_image_bgr(dataset_dict["file_name"])
+                sample = tfms(sample)
+        else:
+            sample = tfms(sample)
 
         h, w = sample["image"].shape[:2]
         boxes2d = sample["boxes2d"]

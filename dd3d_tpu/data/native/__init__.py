@@ -98,6 +98,11 @@ def _get_lib_locked():
         ctypes.POINTER(_u8p), ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
         _u8p, ctypes.c_int32, ctypes.c_int32, _i32p,
     ]
+    lib.decode_resize_batch_multi.restype = None
+    lib.decode_resize_batch_multi.argtypes = [
+        ctypes.POINTER(_u8p), ctypes.POINTER(ctypes.c_int64), ctypes.c_int32,
+        ctypes.POINTER(_u8p), _i32p, _i32p, _i32p,
+    ]
     _lib = lib
     return lib
 
@@ -194,3 +199,33 @@ def decode_resize_batch(blobs, new_h: int, new_w: int):
     if bad.size:
         raise ValueError(f"native decode failed for images {bad.tolist()} (codes {status[bad].tolist()})")
     return out
+
+
+def decode_resize_batch_multi(blobs, targets):
+    """Decode+resize encoded image byte strings with PER-IMAGE target dims,
+    OpenMP-parallel over images in one GIL-released C call — the loader's
+    batch hot path (cf. reference per-image cv2.imread+resize in DataLoader
+    workers, tridet/data/dataset_mappers/dataset_mapper.py:110-127).
+
+    `targets[i]` is (dh, dw) or None to skip image i. Returns a list aligned
+    with `blobs` of (dh, dw, 3) BGR uint8 arrays, with None where the target
+    was None or the native decode refused the input (caller falls back to
+    cv2/PIL per image). Returns None if native IO is unavailable entirely."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(blobs)
+    arrs = [np.frombuffer(b, dtype=np.uint8) for b in blobs]
+    ptrs = (_u8p * n)(*[_u8(a) for a in arrs])
+    sizes = np.asarray([a.size for a in arrs], dtype=np.int64)
+    outs = [np.empty((t[0], t[1], 3), dtype=np.uint8) if t is not None else None for t in targets]
+    out_ptrs = (_u8p * n)(*[(_u8(o) if o is not None else None) for o in outs])
+    dhs = np.asarray([t[0] if t is not None else 0 for t in targets], dtype=np.int32)
+    dws = np.asarray([t[1] if t is not None else 0 for t in targets], dtype=np.int32)
+    status = np.zeros(n, dtype=np.int32)
+    lib.decode_resize_batch_multi(
+        ptrs, sizes.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), n,
+        out_ptrs, dhs.ctypes.data_as(_i32p), dws.ctypes.data_as(_i32p),
+        status.ctypes.data_as(_i32p),
+    )
+    return [o if (o is not None and status[i] == 0) else None for i, o in enumerate(outs)]

@@ -56,6 +56,14 @@ int32_t decode_resize_bgr(const uint8_t* buf, int64_t n, int32_t sh, int32_t sw,
 // out + i*dh*dw*3. Per-image status codes land in `status`.
 void decode_resize_batch(const uint8_t** bufs, const int64_t* sizes, int32_t count,
                          uint8_t* out, int32_t dh, int32_t dw, int32_t* status);
+
+// Same, with per-image output buffers and per-image target dims — the shape
+// the loader needs when a batch mixes source resolutions (each image's
+// shortest-edge resize has its own target). NULL outs[i] skips image i
+// (status -6).
+void decode_resize_batch_multi(const uint8_t** bufs, const int64_t* sizes, int32_t count,
+                               uint8_t** outs, const int32_t* dhs, const int32_t* dws,
+                               int32_t* status);
 }
 
 // ---------------------------------------------------------------------------
@@ -345,6 +353,23 @@ extern "C" void decode_resize_batch(const uint8_t** bufs, const int64_t* sizes, 
         if (rc == 0)
             rc = decode_resize_bgr(bufs[i], sizes[i], sh, sw,
                                    out + (size_t)i * dh * dw * 3, dh, dw);
+        status[i] = rc;
+    }
+}
+
+extern "C" void decode_resize_batch_multi(const uint8_t** bufs, const int64_t* sizes, int32_t count,
+                                          uint8_t** outs, const int32_t* dhs, const int32_t* dws,
+                                          int32_t* status) {
+#pragma omp parallel for schedule(dynamic)
+    for (int32_t i = 0; i < count; i++) {
+        if (outs[i] == nullptr) {
+            status[i] = -6;
+            continue;
+        }
+        int32_t sh, sw;
+        int32_t rc = image_dims(bufs[i], sizes[i], &sh, &sw);
+        if (rc == 0)
+            rc = decode_resize_bgr(bufs[i], sizes[i], sh, sw, outs[i], dhs[i], dws[i]);
         status[i] = rc;
     }
 }

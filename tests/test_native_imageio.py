@@ -171,6 +171,109 @@ def test_png_16bit_falls_back(tmp_path):
     assert np.array_equal(read_image_bgr(p), ref)
 
 
+def test_decode_resize_batch_multi_mixed_targets(tmp_path):
+    rng = np.random.RandomState(9)
+    blobs, refs, targets = [], [], []
+    for i, ((h, w), (dh, dw)) in enumerate([((370, 1224), (384, 1270)), ((900, 1600), (384, 683)), ((240, 320), (192, 256))]):
+        img = _noisy(rng, h, w)
+        p = str(tmp_path / f"mt{i}.png")
+        cv2.imwrite(p, img)
+        blobs.append(open(p, "rb").read())
+        targets.append((dh, dw))
+        refs.append(np.asarray(Image.fromarray(cv2.imread(p, cv2.IMREAD_COLOR)).resize((dw, dh), Image.BILINEAR)))
+    blobs.append(b"not an image")
+    targets.append((64, 64))
+    blobs.append(blobs[0])
+    targets.append(None)  # explicit skip
+    out = native.decode_resize_batch_multi(blobs, targets)
+    assert out is not None and len(out) == 5
+    for i in range(3):
+        assert out[i] is not None and np.array_equal(refs[i], out[i]), i
+    assert out[3] is None and out[4] is None
+
+
+@pytest.fixture
+def kitti_fixture_cfg(tmp_path):
+    """Synthetic 4-image KITTI tree + registered config (varied image sizes so
+    the per-image resize targets differ within one batch)."""
+    from test_kitti_data import CALIB_TEXT, LABEL_TEXT
+
+    from dd3d_tpu.configs import get_experiment_cfg
+    from dd3d_tpu.data.catalog import register_datasets
+
+    root = tmp_path / "KITTI3D"
+    (root / "mv3d_kitti_splits").mkdir(parents=True)
+    for sub in ("calib", "label_2", "image_2"):
+        (root / "training" / sub).mkdir(parents=True)
+    sizes = [(375, 1242), (370, 1224), (375, 1242), (374, 1238)]
+    ids = []
+    for i, (h, w) in enumerate(sizes):
+        sid = f"{i:06d}"
+        ids.append(sid)
+        (root / "training" / "calib" / f"{sid}.txt").write_text(CALIB_TEXT)
+        (root / "training" / "label_2" / f"{sid}.txt").write_text(LABEL_TEXT)
+        img = _noisy(np.random.RandomState(i), h, w)
+        cv2.imwrite(str(root / "training" / "image_2" / f"{sid}.png"), img)
+    (root / "mv3d_kitti_splits" / "train.txt").write_text("".join(s + "\n" for s in ids))
+    cfg = get_experiment_cfg("dd3d_kitti_dla34")
+    cfg.DATASET_ROOT = str(tmp_path)
+    cfg.DATASETS.TRAIN.NAME = "kitti_3d_train"
+    cfg.DATASETS.TEST.NAME = "kitti_3d_train"
+    cfg.INPUT.RESIZE.MIN_SIZE_TRAIN = [288]
+    cfg.INPUT.RESIZE.MIN_SIZE_TEST = 288
+    register_datasets(cfg)
+    return cfg
+
+
+def _loader_batches_with_and_without_native(build, n_batches):
+    """Collect n_batches from `build()` twice: native on, then forced off."""
+    batches_native = [b for b, _ in zip(iter(build()), range(n_batches))]
+    lib, failed = native._lib, native._load_failed
+    try:
+        native._lib, native._load_failed = None, True
+        batches_py = [b for b, _ in zip(iter(build()), range(n_batches))]
+    finally:
+        native._lib, native._load_failed = lib, failed
+    return batches_native, batches_py
+
+
+def _assert_batches_equal(a, b):
+    """Compare the array part of (batch, meta) loader items byte-exactly."""
+    batch_a, meta_a = (a if isinstance(a, tuple) else (a, None))
+    batch_b, meta_b = (b if isinstance(b, tuple) else (b, None))
+    assert set(batch_a) == set(batch_b)
+    for k in batch_a:
+        assert np.array_equal(np.asarray(batch_a[k]), np.asarray(batch_b[k])), k
+    if meta_a is not None:
+        assert [m.get("image_id") for m in meta_a] == [m.get("image_id") for m in meta_b]
+
+
+def test_test_loader_native_batch_parity(kitti_fixture_cfg):
+    """TestDataLoader through the batched native decode+resize must produce
+    byte-identical batches to the per-image cv2/PIL path."""
+    from dd3d_tpu.data.build import build_test_dataloader
+
+    cfg = kitti_fixture_cfg
+    cfg.TEST.IMS_PER_BATCH = 4
+    a, b = _loader_batches_with_and_without_native(lambda: build_test_dataloader(cfg), 2)
+    for x, y in zip(a, b):
+        _assert_batches_equal(x, y)
+
+
+def test_train_loader_native_batch_parity(kitti_fixture_cfg):
+    """TrainDataLoader (thread path, per-batch fixed resize bucket) through
+    the batched native path: byte-identical, same seed stream."""
+    from dd3d_tpu.data.build import build_train_dataloader
+
+    cfg = kitti_fixture_cfg
+    cfg.SOLVER.IMS_PER_BATCH = 4
+    cfg.DATALOADER.TRAIN.USE_PROCESS_POOL = False
+    cfg.DATALOADER.TRAIN.NUM_WORKERS = 2
+    a, b = _loader_batches_with_and_without_native(lambda: build_train_dataloader(cfg), 2)
+    for x, y in zip(a, b):
+        _assert_batches_equal(x, y)
+
+
 def test_corrupt_input_rejected():
     assert native.image_dims(b"not an image") is None
     assert native.decode_bgr(b"\x89PNG\r\n\x1a\ngarbage") is None
