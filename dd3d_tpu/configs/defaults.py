@@ -190,6 +190,12 @@ def get_cfg() -> CfgNode:
             "TEST": {
                 "IMS_PER_BATCH": 8,
                 "EVAL_PERIOD": 2000,
+                # Compute eval metrics on process 0 only and broadcast the
+                # result (the reference's rank-0 gather shape,
+                # kitti_3d_evaluator.py:158-161). Default False = symmetric
+                # compute on every rank; flip on for large val sets where
+                # the N-way duplicated metric engine is real wall clock.
+                "RANK0_METRICS": False,
                 "AUG": {
                     "ENABLED": False,
                     "MIN_SIZES": [320, 384, 448, 512, 576],

@@ -356,13 +356,21 @@ class KITTI3DEvaluator:
     """Accumulates per-image predictions + GT; computes R40 AP.
     cf. kitti_3d_evaluator.py:33-202."""
 
-    def __init__(self, dataset_name: str, iou_thresholds=(0.5, 0.7), output_dir: Optional[str] = None):
+    def __init__(self, dataset_name: str, iou_thresholds=(0.5, 0.7), output_dir: Optional[str] = None,
+                 rank0_only: bool = False):
         self._dataset_dicts = {d["image_id"]: d for d in DatasetCatalog.get(dataset_name)}
         md = MetadataCatalog.get(dataset_name)
         self._class_names = md["thing_classes"]
         self._id_to_name = {i: n for i, n in enumerate(self._class_names)}
         self._iou_thresholds = list(iou_thresholds)
         self._output_dir = output_dir
+        # TEST.RANK0_METRICS: compute metrics on process 0 only and broadcast
+        # the result dict (the reference's behavior, kitti_3d_evaluator.py:
+        # 158-161). Default False = every rank computes identical results —
+        # simpler logging, and eval overlaps device inference; at large val
+        # sets the N-way duplicated AP engine is real wall clock, so flip
+        # this on.
+        self._rank0_only = bool(rank0_only)
         self.reset()
 
     def reset(self):
@@ -430,12 +438,26 @@ class KITTI3DEvaluator:
             preds = [r for p, _, _ in parts for r in p]
             gts = [r for _, g, _ in parts for r in g]
             predictions_json = [r for _, _, j in parts for r in j]
+            if self._rank0_only:
+                # Reference semantics (kitti_3d_evaluator.py:158-161): only
+                # rank 0 runs the AP engine; everyone gets the result via a
+                # broadcast so the return value stays rank-invariant.
+                from dd3d_tpu.utils.comm import broadcast_from_master
 
-        # Every process computes the (identical) metrics after the gather;
-        # the reference returns early on non-main ranks instead
+                res = (self._compute_metrics(preds, gts, predictions_json)
+                       if is_main_process() else None)
+                return broadcast_from_master(res)
+        return self._compute_metrics(preds, gts, predictions_json)
+
+    def _compute_metrics(self, preds, gts, predictions_json) -> Dict[str, float]:
+        from dd3d_tpu.utils.comm import is_main_process
+
+        # By default every process computes the (identical) metrics after
+        # the gather; the reference returns early on non-main ranks instead
         # (kitti_3d_evaluator.py:158-161). Kept symmetric here: the engine
         # is OpenMP-parallel and eval overlaps device inference, and rank-
         # identical results keep the multi-host logging path trivial.
+        # TEST.RANK0_METRICS=True restores the reference's rank-0-only shape.
         engine = KITTIEvaluationEngine(id_to_name=self._id_to_name)
         gt_annos = [engine.format_annotation(i, rows, False) for i, rows in enumerate(gts)]
         dt_annos = [engine.format_annotation(i, rows, True) for i, rows in enumerate(preds)]

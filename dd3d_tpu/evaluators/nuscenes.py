@@ -87,11 +87,15 @@ def build_nusc_detection(det: dict, i: int, pose_world_cam: Pose, class_names) -
 class NuscenesEvaluator:
     """cf. NuscenesEvaluator, nuscenes_evaluator.py:131-312."""
 
-    def __init__(self, dataset_name: str, output_dir: Optional[str] = None):
+    def __init__(self, dataset_name: str, output_dir: Optional[str] = None, rank0_only: bool = False):
         self._dataset_name = dataset_name
         md = MetadataCatalog.get(dataset_name)
         self._class_names = md.get("thing_classes", list(CLASS_NAMES))
         self._output_dir = output_dir or "/tmp/dd3d_tpu_nusc_eval"
+        # TEST.RANK0_METRICS: run the metric engine (and the submission
+        # write) on process 0 only, broadcast the result dict. See
+        # KITTI3DEvaluator for the rationale.
+        self._rank0_only = bool(rank0_only)
         self.reset()
 
     def reset(self):
@@ -119,7 +123,14 @@ class NuscenesEvaluator:
 
         if is_distributed():
             self._results = defaultdict(list, gather_dict(dict(self._results)))
+            if self._rank0_only:
+                from dd3d_tpu.utils.comm import broadcast_from_master, is_main_process
 
+                res = self._evaluate_merged() if is_main_process() else None
+                return broadcast_from_master(res)
+        return self._evaluate_merged()
+
+    def _evaluate_merged(self) -> Dict[str, Dict[str, float]]:
         os.makedirs(self._output_dir, exist_ok=True)
 
         def top500(entries):

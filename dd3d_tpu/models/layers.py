@@ -143,6 +143,13 @@ FOLD_FROZEN_BN = True
 # trade (see tests/test_int8_infer.py for the measured numeric drift).
 QUANT_INT8 = False
 
+# Minimum input-channel count for a conv to quantize. The early small-channel
+# high-resolution stages (DLA C=16/32) are HBM/tiling-bound, where dynamic
+# quantization's extra activation passes (max-reduce + quantize) cost more
+# than the halved MXU time saves; the wide mid/late convs are MXU-bound and
+# win. Swept on the v5e (scripts/bench_int8_ab.py), see ROADMAP round-4.
+QUANT_MIN_CH = 64
+
 
 def _int8_conv(x, kernel, *, strides, padding, rhs_dilation, groups, out_dtype):
     """Dynamic-PTQ int8 conv: returns dequantized activations in out_dtype.
@@ -201,7 +208,7 @@ class FoldableConv(nn.Module):
             kernel = kernel * mul  # fp32, broadcast over the O axis
             bias = (bias * mul + add) if bias is not None else add
         p = self.dilation * (k - 1) // 2
-        if QUANT_INT8 and mul is not None:
+        if QUANT_INT8 and mul is not None and x.shape[-1] >= QUANT_MIN_CH:
             # Folded convs exist only in eval graphs (and FrozenBN trains);
             # quantizing exactly this set covers the backbone + towers and
             # leaves predictors / norm-free convs in bf16.

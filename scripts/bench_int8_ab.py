@@ -17,7 +17,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run(quant: bool, b: int, iters: int = 15):
+def run(quant: bool, b: int, iters: int = 15, min_ch: int = None):
     import jax
     import jax.numpy as jnp
 
@@ -27,6 +27,8 @@ def run(quant: bool, b: int, iters: int = 15):
     from dd3d_tpu.models.dd3d import dd3d_inference
 
     L.QUANT_INT8 = quant
+    if min_ch is not None:
+        L.QUANT_MIN_CH = min_ch
     cfg = get_experiment_cfg("dd3d_kitti_dla34")
     model = build_model(cfg)
 
@@ -55,10 +57,13 @@ def run(quant: bool, b: int, iters: int = 15):
 
 def main():
     b = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+    sweep = [int(x) for x in sys.argv[2].split(",")] if len(sys.argv) > 2 else [None]
     bf16 = run(False, b)
-    print(f"bf16  : {bf16:8.1f} imgs/s (batch {b})")
-    i8 = run(True, b)
-    print(f"int8  : {i8:8.1f} imgs/s (batch {b})  ({i8 / bf16:.2f}x)")
+    print(f"bf16           : {bf16:8.1f} imgs/s (batch {b})", flush=True)
+    for min_ch in sweep:
+        i8 = run(True, b, min_ch=min_ch)
+        tag = f"int8 min_ch={min_ch}" if min_ch is not None else "int8"
+        print(f"{tag:15s}: {i8:8.1f} imgs/s (batch {b})  ({i8 / bf16:.2f}x)", flush=True)
 
 
 if __name__ == "__main__":

@@ -131,6 +131,59 @@ def test_kitti_eval_process_count_invariant(n_proc, monkeypatch):
         assert m_flat[k] == pytest.approx(s_flat[k], abs=1e-9), k
 
 
+@pytest.mark.parametrize("n_proc", [2])
+def test_kitti_eval_rank0_only_matches_symmetric(n_proc, monkeypatch):
+    """TEST.RANK0_METRICS: rank-0-only compute + broadcast must return the
+    same metrics as the default symmetric compute, and non-main ranks must
+    skip the engine and return the broadcast payload."""
+    from dd3d_tpu.evaluators.kitti_3d import KITTI3DEvaluator
+
+    dicts = _make_dataset("mh_kitti_fixture")
+    dets = _detections_for(dicts)
+
+    sym = _simulate(lambda: KITTI3DEvaluator("mh_kitti_fixture"), dicts, dets, n_proc, monkeypatch)
+    monkeypatch.setattr(comm, "broadcast_from_master", lambda obj: obj)
+    r0 = _simulate(
+        lambda: KITTI3DEvaluator("mh_kitti_fixture", rank0_only=True), dicts, dets, n_proc, monkeypatch
+    )
+    assert set(sym["kitti_3d"]) == set(r0["kitti_3d"])
+    for k in sym["kitti_3d"]:
+        assert r0["kitti_3d"][k] == pytest.approx(sym["kitti_3d"][k], abs=1e-9), k
+
+    # Non-main rank: engine skipped, broadcast value passed through.
+    sentinel = {"kitti_3d": {"from_master": 1.0}}
+
+    def fake_bcast(obj):
+        assert obj is None  # non-main sends nothing
+        return sentinel
+
+    monkeypatch.setattr(comm, "is_main_process", lambda: False)
+    monkeypatch.setattr(comm, "broadcast_from_master", fake_bcast)
+    out = _simulate(
+        lambda: KITTI3DEvaluator("mh_kitti_fixture", rank0_only=True), dicts, dets, n_proc, monkeypatch
+    )
+    assert out == sentinel
+
+
+def test_nuscenes_eval_rank0_only(monkeypatch, tmp_path):
+    """Non-main ranks skip the nuScenes engine (and the submission write)
+    and return the broadcast payload."""
+    from dd3d_tpu.evaluators.nuscenes import NuscenesEvaluator
+
+    name = "mh_nusc_r0_fixture"
+    if name not in DatasetCatalog.list():
+        DatasetCatalog.register(name, lambda: [])
+        MetadataCatalog.get(name)["thing_classes"] = ["car"]
+    ev = NuscenesEvaluator(name, output_dir=str(tmp_path / "out"), rank0_only=True)
+    sentinel = {"nuscenes": {"from_master": 1.0}}
+    monkeypatch.setattr(comm, "is_distributed", lambda: True)
+    monkeypatch.setattr(comm, "gather_dict", lambda d: d)
+    monkeypatch.setattr(comm, "is_main_process", lambda: False)
+    monkeypatch.setattr(comm, "broadcast_from_master", lambda obj: sentinel)
+    assert ev.evaluate() == sentinel
+    assert not (tmp_path / "out").exists()  # no write off-main
+
+
 @pytest.mark.parametrize("n_proc", [4])
 def test_coco_eval_process_count_invariant(n_proc, monkeypatch):
     from dd3d_tpu.evaluators.coco2d import COCO2DEvaluator
