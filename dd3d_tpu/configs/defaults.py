@@ -234,6 +234,17 @@ def get_cfg() -> CfgNode:
                 # stats from canvas slices; 4 small head-conv dW GEMMs
                 # collapse into 1). Off until measured on TPU.
                 "PACKED_HEADS_TRAIN": False,
+                # Dynamic int8 PTQ for the INFERENCE graph: norm-folded convs
+                # with >= QUANT_MIN_CH input channels run int8xint8->int32 on
+                # the MXU (v5e int8 peak is 2x bf16). Measured on v5e at
+                # batch 128, 384x1280: 596.6 -> 715.1 imgs/s (1.20x) at
+                # MIN_CH=256 (quantizing the narrow high-res convs LOSES —
+                # they are HBM-bound and dynamic quant adds activation
+                # passes; sweep in ROADMAP round-4). Accuracy drift pinned by
+                # tests/test_int8_infer.py. Off by default: reference-exact
+                # numerics unless opted in. Ignored by the training graph.
+                "QUANT_INT8": False,
+                "QUANT_MIN_CH": 256,
                 # Mesh axis names: data-parallel axis.
                 "MESH_AXES": ["data"],
             },

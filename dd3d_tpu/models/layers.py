@@ -134,13 +134,21 @@ FOLD_FROZEN_BN = True
 # Opt-in int8 post-training-quantized inference (v5e int8 MXU peak is 2x
 # bf16). When True, every NORM-FOLDED conv (i.e. the eval-graph backbone /
 # FPN-with-norm / head-tower convs — exactly the convs that receive a folded
-# affine; predictors and norm-free convs stay bf16) runs as a dynamic-PTQ
-# int8 conv: per-output-channel symmetric weight scales, per-tensor dynamic
-# activation scale, int8xint8->int32 accumulation, fp32 dequant. No
-# calibration pass is needed and checkpoints are unchanged. Module-global
-# like FOLD_FROZEN_BN: toggle BEFORE tracing (tests and bench A/Bs set it
-# around their own jit builds); default off — this is an accuracy/speed
-# trade (see tests/test_int8_infer.py for the measured numeric drift).
+# affine; predictors and norm-free convs stay bf16) with at least
+# QUANT_MIN_CH input channels runs as a dynamic-PTQ int8 conv:
+# per-output-channel symmetric weight scales, per-tensor dynamic activation
+# scale, int8xint8->int32 accumulation, fp32 dequant. No calibration pass is
+# needed and checkpoints are unchanged.
+#
+# These globals are the TRACE-TIME mechanism; the config keys
+# TPU.QUANT_INT8 / TPU.QUANT_MIN_CH are the user interface. Every jitted
+# closure builder (postprocess.get_inference_fn, the TTA wrapper, bench.py)
+# calls set_quant_from_cfg(cfg) INSIDE its traced function so retraces can
+# never pick up another config's setting, and the inference-fn cache keys on
+# the full TPU subtree (postprocess._infer_fingerprint). The train step
+# forces QUANT_INT8 off at trace time: round() has zero gradient, so a
+# quantized FrozenBN backbone would silently stop training.
+# Accuracy drift is pinned by tests/test_int8_infer.py.
 QUANT_INT8 = False
 
 # Minimum input-channel count for a conv to quantize. The early small-channel
@@ -148,7 +156,16 @@ QUANT_INT8 = False
 # quantization's extra activation passes (max-reduce + quantize) cost more
 # than the halved MXU time saves; the wide mid/late convs are MXU-bound and
 # win. Swept on the v5e (scripts/bench_int8_ab.py), see ROADMAP round-4.
-QUANT_MIN_CH = 64
+QUANT_MIN_CH = 256
+
+
+def set_quant_from_cfg(cfg):
+    """Set the trace-time PTQ globals from TPU.QUANT_INT8 / TPU.QUANT_MIN_CH.
+    Call inside the function being jitted (runs at trace time only)."""
+    global QUANT_INT8, QUANT_MIN_CH
+    tpu = cfg.get("TPU", {})
+    QUANT_INT8 = bool(tpu.get("QUANT_INT8", False))
+    QUANT_MIN_CH = int(tpu.get("QUANT_MIN_CH", 256))
 
 
 def _int8_conv(x, kernel, *, strides, padding, rhs_dilation, groups, out_dtype):

@@ -131,6 +131,12 @@ def get_inference_fn(model, cfg, group_size: int = 1, jit: bool = True):
     aggregate = bool(cfg.DD3D.INFERENCE.get("NUSC_SAMPLE_AGGREGATE", False)) and group_size > 1
 
     def infer(variables, images, intrinsics, pose_quat=None, pose_tvec=None):
+        # Trace-time only: pin the PTQ globals to THIS closure's config so a
+        # retrace (new batch shape) can never pick up another config's
+        # setting (the cache key already covers the TPU subtree).
+        import dd3d_tpu.models.layers as _L
+
+        _L.set_quant_from_cfg(cfg)
         outputs = model.apply(variables, images, train=False)
         det = dd3d_inference(cfg, outputs, intrinsics, strides=strides)
         if aggregate and pose_quat is not None:

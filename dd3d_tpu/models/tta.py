@@ -83,6 +83,9 @@ class DD3DWithTTA:
         variant_cfg.DD3D.INFERENCE.DO_BEV_NMS = False
 
         def infer(variables, images, intrinsics):
+            import dd3d_tpu.models.layers as _L
+
+            _L.set_quant_from_cfg(variant_cfg)  # trace-time, see layers.py
             outputs = model.apply(variables, images, train=False)
             return dd3d_inference(variant_cfg, outputs, intrinsics)
 

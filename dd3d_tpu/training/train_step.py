@@ -72,6 +72,12 @@ def make_train_step(cfg, model, loss_fn=None):
     remat = str(cfg.TPU.get("REMAT", "none"))
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray]) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        # Trace-time only: int8 PTQ is inference-only — round() has zero
+        # gradient, so a quantized FrozenBN backbone would silently stop
+        # training (see layers.set_quant_from_cfg).
+        import dd3d_tpu.models.layers as _L
+
+        _L.QUANT_INT8 = False
         images = batch["image"]
         if "color_jitter" in batch:
             from dd3d_tpu.ops.color_jitter import apply_color_jitter

@@ -44,24 +44,38 @@ def test_two_process_run_matches_single_process(tmp_path):
     env["PYTHONPATH"] = ""
 
     outs = [str(tmp_path / f"rank{i}.json") for i in range(2)]
-    procs = [
-        subprocess.Popen(
-            [sys.executable, worker, str(i), "2", str(port), outs[i]],
-            cwd=repo, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        )
-        for i in range(2)
-    ]
-    logs = []
-    try:
-        for p in procs:
-            out, _ = p.communicate(timeout=1500)
-            logs.append(out.decode(errors="replace"))
-    finally:
-        # never leave orphans: they contend the CPU and starve the NEXT
-        # run's jax.distributed initialization past its timeout
-        for p in procs:
-            if p.poll() is None:
-                p.kill()
+
+    def launch(port):
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(i), "2", str(port), outs[i]],
+                cwd=repo, env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            for i in range(2)
+        ]
+        logs = []
+        try:
+            for p in procs:
+                out, _ = p.communicate(timeout=1500)
+                logs.append(out.decode(errors="replace"))
+        finally:
+            # never leave orphans: they contend the CPU and starve the NEXT
+            # run's jax.distributed initialization past its timeout
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+        return procs, logs
+
+    procs, logs = launch(port)
+    if any(p.returncode != 0 for p in procs) and any(
+        "Gloo context initialization failed: DEADLINE_EXCEEDED" in l for l in logs
+    ):
+        # Known environment flake, NOT a transport bug: Gloo's rendezvous has
+        # a hard 30 s KV-wait, and on a contended 1-core box external load
+        # (e.g. a concurrent TPU bench's host process) can skew the ranks'
+        # pre-collective host work past it. Retry ONCE — a genuine pass over
+        # the real transport is still required for the test to go green.
+        procs, logs = launch(_free_port())
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"rank {i} failed:\n{logs[i][-4000:]}"
 
