@@ -245,6 +245,13 @@ def get_cfg() -> CfgNode:
                 # numerics unless opted in. Ignored by the training graph.
                 "QUANT_INT8": False,
                 "QUANT_MIN_CH": 256,
+                # Static PTQ: path to a calibration JSON from
+                # scripts/calibrate_int8.py ({conv_path: act_amax}). When set
+                # (and QUANT_INT8 on), each calibrated conv's activation
+                # scale is a trace-time constant — the dynamic per-batch
+                # abs-max reduce passes disappear. Convs missing from the
+                # file keep dynamic scales.
+                "QUANT_SCALES_PATH": "",
                 # Mesh axis names: data-parallel axis.
                 "MESH_AXES": ["data"],
             },

@@ -41,6 +41,9 @@ def build_feature_extractor(cfg):
 
 def build_model(cfg):
     """Resolve `cfg.MODEL.META_ARCHITECTURE` to a flax module."""
+    from dd3d_tpu.utils.jax_cache import enable_persistent_cache
+
+    enable_persistent_cache()  # before the first jit of this model's graphs
     import dd3d_tpu.models.dd3d  # noqa: F401
     import dd3d_tpu.models.dense_depth  # noqa: F401
     import dd3d_tpu.models.nuscenes_dd3d  # noqa: F401

@@ -158,25 +158,76 @@ QUANT_INT8 = False
 # win. Swept on the v5e (scripts/bench_int8_ab.py), see ROADMAP round-4.
 QUANT_MIN_CH = 256
 
+# Static (calibrated) activation scales:
+# {"/".join(module_path): (amax_call0, amax_call1, ...)}. When a quantizing
+# conv's path is present, its activation scale becomes a trace-time CONSTANT
+# (amax/127) and the dynamic per-batch abs-max reduce + its extra activation
+# pass disappear from the program — the remaining dynamic-quant overhead
+# named in BASELINE.md. Scales are PER CALL SITE: the shared head-tower
+# convs run once per FPN level with very different activation ranges, so one
+# scale per flax module would be both lossy and unequal to the dynamic path;
+# QUANT_CALL_COUNTS tracks each conv's trace-time call index, which lines up
+# with the order `sow` appended the observed abs-maxes during calibration
+# (same model structure => same trace order). Missing paths (or indices)
+# fall back to dynamic scales. Produced by scripts/calibrate_int8.py:
+# every folded conv sows its per-call abs-max into the `intermediates`
+# collection (a no-op unless that collection is mutable), so calibration is
+# just inference with mutable=["intermediates"] + a running max over batches.
+QUANT_SCALES = {}
+QUANT_CALL_COUNTS = {}
+
+_SCALES_FILE_CACHE = {}
+
+
+def load_quant_scales(path):
+    """Load a calibration JSON {conv_path: amax | [amax per call]}; values
+    normalize to tuples (hashable, per-call-indexable); cached by (path, mtime)."""
+    import json
+    import os
+
+    key = (path, os.path.getmtime(path))
+    if key not in _SCALES_FILE_CACHE:
+        with open(path) as f:
+            raw = json.load(f)
+        _SCALES_FILE_CACHE[key] = {
+            str(k): tuple(float(x) for x in v) if isinstance(v, (list, tuple)) else (float(v),)
+            for k, v in raw.items()
+        }
+    return _SCALES_FILE_CACHE[key]
+
 
 def set_quant_from_cfg(cfg):
-    """Set the trace-time PTQ globals from TPU.QUANT_INT8 / TPU.QUANT_MIN_CH.
-    Call inside the function being jitted (runs at trace time only)."""
-    global QUANT_INT8, QUANT_MIN_CH
+    """Set the trace-time PTQ globals from TPU.QUANT_INT8 / TPU.QUANT_MIN_CH /
+    TPU.QUANT_SCALES_PATH. Call inside the function being jitted (runs at
+    trace time only)."""
+    global QUANT_INT8, QUANT_MIN_CH, QUANT_SCALES, QUANT_CALL_COUNTS
     tpu = cfg.get("TPU", {})
     QUANT_INT8 = bool(tpu.get("QUANT_INT8", False))
     QUANT_MIN_CH = int(tpu.get("QUANT_MIN_CH", 256))
+    scales_path = tpu.get("QUANT_SCALES_PATH", "") or ""
+    QUANT_SCALES = load_quant_scales(scales_path) if scales_path else {}
+    # Per-trace call-index counter (see QUANT_SCALES): every traced closure
+    # calls this at its start, so indices restart at 0 per trace.
+    QUANT_CALL_COUNTS = {}
 
 
-def _int8_conv(x, kernel, *, strides, padding, rhs_dilation, groups, out_dtype):
-    """Dynamic-PTQ int8 conv: returns dequantized activations in out_dtype.
+def _int8_conv(x, kernel, *, strides, padding, rhs_dilation, groups, out_dtype, act_amax=None):
+    """PTQ int8 conv: returns dequantized activations in out_dtype.
 
     kernel is the fp32 (possibly norm-folded) HWIO weight. Scales:
-    weights per output channel (exact symmetric max/127), activations one
-    dynamic per-tensor scale (a VPU reduce over x — cheap next to the conv).
+    weights per output channel (exact symmetric max/127); activations one
+    per-tensor scale — a calibrated CONSTANT when act_amax is given (static
+    PTQ: no reduce pass), else computed dynamically per batch (a VPU reduce
+    over x — cheap next to the conv, but a full extra activation read).
     """
     xf = x.astype(jnp.float32)
-    xs = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    if act_amax is not None:
+        # Same f32 arithmetic as the dynamic branch so a static scale equal
+        # to the observed abs-max reproduces the dynamic result bit-exactly
+        # (pinned by tests/test_int8_static.py).
+        xs = jnp.maximum(jnp.float32(act_amax), 1e-12) / 127.0
+    else:
+        xs = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
     xq = jnp.clip(jnp.round(xf / xs), -127, 127).astype(jnp.int8)
     ws = jnp.maximum(jnp.max(jnp.abs(kernel), axis=(0, 1, 2)), 1e-12) / 127.0  # (O,)
     wq = jnp.clip(jnp.round(kernel / ws), -127, 127).astype(jnp.int8)
@@ -225,6 +276,24 @@ class FoldableConv(nn.Module):
             kernel = kernel * mul  # fp32, broadcast over the O axis
             bias = (bias * mul + add) if bias is not None else add
         p = self.dilation * (k - 1) // 2
+        act_amax = None
+        if QUANT_INT8 and mul is not None:
+            # Calibration capture: observed per-call activation abs-max, a
+            # no-op (dead code XLA removes) unless the caller applies with
+            # mutable=["intermediates"] (scripts/calibrate_int8.py). Sown
+            # (appended, one entry per call — shared tower convs run once
+            # per FPN level) for EVERY folded conv so one calibration run
+            # serves any QUANT_MIN_CH gate choice.
+            self.sow("intermediates", "act_amax", jnp.max(jnp.abs(x.astype(jnp.float32))))
+            # Per-call static scale lookup; the trace-time call counter
+            # mirrors the order calibration sowed (set_quant_from_cfg
+            # resets it per traced closure).
+            path = "/".join(self.scope.path)
+            idx = QUANT_CALL_COUNTS.get(path, 0)
+            QUANT_CALL_COUNTS[path] = idx + 1
+            entry = QUANT_SCALES.get(path)
+            if entry is not None and idx < len(entry):
+                act_amax = entry[idx]
         if QUANT_INT8 and mul is not None and x.shape[-1] >= QUANT_MIN_CH:
             # Folded convs exist only in eval graphs (and FrozenBN trains);
             # quantizing exactly this set covers the backbone + towers and
@@ -237,6 +306,7 @@ class FoldableConv(nn.Module):
                 rhs_dilation=(self.dilation, self.dilation),
                 groups=self.groups,
                 out_dtype=self.dtype,
+                act_amax=act_amax,
             )
         else:
             y = jax.lax.conv_general_dilated(

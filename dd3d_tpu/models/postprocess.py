@@ -105,9 +105,19 @@ def _infer_fingerprint(cfg, group_size: int) -> tuple:
     # Fingerprint EVERY decode-relevant config subtree, not a hand-picked
     # key list: a second eval with e.g. different CANONICAL_BOX3D_SIZES or
     # MIN/MAX_DEPTH must not hit a closure baked with the old constants.
+    # Static int8 scales are baked in as constants at trace time, so the
+    # scales-file CONTENT (not just its TPU.QUANT_SCALES_PATH string, which
+    # dict(cfg.TPU) covers) must key the cache too: re-calibrating to the
+    # same path mid-process must not serve the old constants.
+    scales_fp = ()
+    scales_path = cfg.TPU.get("QUANT_SCALES_PATH", "") or ""
+    if scales_path and bool(cfg.TPU.get("QUANT_INT8", False)):
+        from dd3d_tpu.models.layers import load_quant_scales
+
+        scales_fp = tuple(sorted(load_quant_scales(scales_path).items()))
     return (
         cfg.MODEL.META_ARCHITECTURE, cfg.MODEL.BOX3D_ON,
-        _freeze(dict(cfg.DD3D)), _freeze(dict(cfg.TPU)), group_size,
+        _freeze(dict(cfg.DD3D)), _freeze(dict(cfg.TPU)), group_size, scales_fp,
     )
 
 

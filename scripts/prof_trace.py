@@ -26,7 +26,7 @@ sys.path.insert(1, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def _summarize(path, top_n=25):
+def _summarize(path, top_n=25, dump_json=None):
     from tensorflow.tsl.profiler.protobuf import xplane_pb2
 
     xs = xplane_pb2.XSpace()
@@ -40,6 +40,7 @@ def _summarize(path, top_n=25):
             if line.name != "XLA Ops":
                 continue
             cat, catn, top = collections.Counter(), collections.Counter(), collections.Counter()
+            topn = collections.Counter()
             total = 0.0
             for ev in line.events:
                 name = ev_meta[ev.metadata_id].name
@@ -49,6 +50,7 @@ def _summarize(path, top_n=25):
                 cat[m.group(1) if m else name] += dur
                 catn[m.group(1) if m else name] += 1
                 top[name[:110]] += dur
+                topn[name[:110]] += 1
             print(f"[{plane.name}] XLA Ops total {total:.1f} ms (all recorded steps)")
             print("-- by op kind:")
             for k, ms in cat.most_common(20):
@@ -56,9 +58,24 @@ def _summarize(path, top_n=25):
             print(f"-- top {top_n} individual ops:")
             for k, ms in top.most_common(top_n):
                 print(f"  {ms:9.2f} ms  {k}")
+            if dump_json:
+                import json
+
+                with open(dump_json, "w") as f:
+                    json.dump(
+                        {
+                            "total_ms": total,
+                            "by_kind_ms": dict(cat),
+                            "by_kind_n": dict(catn),
+                            "ops_ms": dict(top),
+                            "ops_n": dict(topn),
+                        },
+                        f,
+                    )
+                print("dumped:", dump_json)
 
 
-def _trace(fn, args, logdir):
+def _trace(fn, args, logdir, dump_json=None):
     import jax
 
     out = fn(*args)
@@ -71,13 +88,18 @@ def _trace(fn, args, logdir):
     paths = glob.glob(os.path.join(logdir, "**", "*.xplane.pb"), recursive=True)
     print("trace:", paths)
     for p in paths:
-        _summarize(p)
+        _summarize(p, dump_json=dump_json)
 
 
 def main():
     mode = sys.argv[1] if len(sys.argv) > 1 else "train"
+    dump_json = None
+    for a in list(sys.argv[2:]):
+        if a.startswith("--json="):
+            dump_json = a.split("=", 1)[1]
+            sys.argv.remove(a)
     if mode == "parse":
-        _summarize(sys.argv[2])
+        _summarize(sys.argv[2], dump_json=dump_json)
         return
     import jax
 
@@ -98,7 +120,7 @@ def main():
         batch = synth_batch(batch_size)
         state = create_train_state(cfg, model, batch)
         step = jax.jit(make_train_step(cfg, model))
-        _trace(lambda s, b: step(s, b)[1], (state, batch), f"/tmp/jtrace_train{batch_size}_{os.getpid()}")
+        _trace(lambda s, b: step(s, b)[1], (state, batch), f"/tmp/jtrace_train{batch_size}_{os.getpid()}", dump_json)
     else:
         import jax.numpy as jnp
 
@@ -114,7 +136,7 @@ def main():
         def infer(v, im, intr):
             return dd3d_inference(cfg, model.apply(v, im, train=False), intr)
 
-        _trace(infer, (variables, images, intrinsics), f"/tmp/jtrace_infer{batch_size}_{os.getpid()}")
+        _trace(infer, (variables, images, intrinsics), f"/tmp/jtrace_infer{batch_size}_{os.getpid()}", dump_json)
 
 
 if __name__ == "__main__":
