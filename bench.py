@@ -31,10 +31,14 @@ def main():
     from dd3d_tpu.models.dd3d import dd3d_inference
 
     cfg = get_experiment_cfg("dd3d_kitti_dla34")
-    # int8 PTQ on the wide convs: 596.6 -> 715.1 imgs/s measured on v5e
-    # (TPU.QUANT_INT8 in configs/defaults.py; drift pinned by
-    # tests/test_int8_infer.py). This is the shipped serving configuration.
+    # STATIC int8 PTQ (calibrated activation scales) — the shipped serving
+    # configuration. Measured on v5e at batch 128: bf16 599 -> dynamic int8
+    # 714 (min_ch=256) -> static int8 ~808 imgs/s (min_ch=32): constant
+    # scales delete the per-conv dynamic abs-max passes, which also moves
+    # the profitable channel gate down to 32 (sweep in ROADMAP round-4).
+    # Drift pinned by tests/test_int8_infer.py + test_int8_static.py.
     cfg.TPU.QUANT_INT8 = True
+    cfg.TPU.QUANT_MIN_CH = 32
     model = build_model(cfg)
 
     # KITTI eval resolution: min side 384 -> (384, 1242) padded to /128.
@@ -47,6 +51,24 @@ def main():
         np.tile(np.array([[721.5, 0, 609.5], [0, 721.5, 172.8], [0, 0, 1]], np.float32), (b, 1, 1))
     )
     variables = model.init(jax.random.PRNGKey(0), images[:1], train=False)
+
+    # Calibrate static scales on the bench inputs (deployment calibrates on
+    # representative frames via scripts/calibrate_int8.py; throughput does
+    # not depend on the scale values).
+    import os
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
+    from calibrate_int8 import capture_scales
+
+    calib_cfg = cfg.clone()
+    calib_cfg.TPU.QUANT_MIN_CH = 0
+    scales = capture_scales(calib_cfg, model, variables, [images])
+    scales_path = os.path.join(tempfile.gettempdir(), f"bench_scales_{os.getpid()}.json")
+    with open(scales_path, "w") as f:
+        json.dump(scales, f)
+    cfg.TPU.QUANT_SCALES_PATH = scales_path
 
     @jax.jit
     def infer(variables, images, intrinsics):
