@@ -225,6 +225,26 @@ def get_cfg() -> CfgNode:
                 # default "train": s2d weight-grad layout for training, plain
                 # stem for inference. Both stems share one parameter tree.
                 "S2D_STEM": "train",
+                # Batch-fold the s2d stem onto ONE guard-banded
+                # (1, B*(H+G), W, C) row canvas (models/s2d.py
+                # fold_batch_rows): removes XLA's batch-minor dW layouts
+                # (batch padded to the 128-lane axis) in the stem's
+                # weight gradients. Exact (guard rows reproduce zero
+                # padding; BN stats rescaled by the valid-row fraction),
+                # but measured 1.7x SLOWER on v5e at batch 40 (96.7 vs
+                # 162.8 imgs/s): XLA spatially partitions the huge-H
+                # canvas convs into 5-D halo-materialized forms (ROADMAP
+                # round-4). Kept as a documented dead end; leave False.
+                "S2D_STEM_FOLD": False,
+                # Run the 7x7 base layer at s2d factor 4 ([3,3,48,256]
+                # kernel: full MXU lanes for forward AND weight-gradient,
+                # vs the f=2 [5,5,12,64] dW at ~2% MFU) then repack to
+                # s2d(2) for level0/level1. Exact rewrite, s2d-stem only —
+                # but measured SLOWER on v5e (147.3 vs 162.8 imgs/s at
+                # batch 40): the s2d4->s2d2 repack transpose materializes
+                # a full-activation copy in fwd AND bwd, and its HBM temp
+                # OOMs batch 128. Documented dead end; leave False.
+                "S2D_BASE4": False,
                 # Pack P4..P7 into ONE guard-banded canvas for the shared
                 # FCOS head towers/predictors at eval (models/level_pack.py):
                 # each tower layer becomes 2 conv calls (P3 + packed) instead

@@ -210,6 +210,14 @@ class DLA(nn.Module):
     # inference where s2d's phase-mixed kernels measured slower). The two
     # stems share a byte-identical parameter tree (tests/test_s2d_stem.py).
     s2d_stem: Any = False
+    # Batch-fold the s2d stem onto one guard-banded row canvas (see
+    # _stem_s2d / models/s2d.py). Only meaningful when the s2d stem is
+    # active; ignored at batch 1.
+    s2d_fold: bool = False
+    # Run the 7x7 base layer at s2d factor 4 ([3,3,48,256] kernel — full
+    # MXU lanes for the forward AND the weight gradient) then repack to
+    # the s2d(2) domain for level0/level1. Exact; s2d-stem only.
+    s2d_base4: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -246,22 +254,66 @@ class DLA(nn.Module):
 
     def _stem_s2d(self, x, outputs, train):
         """Numerically equivalent stem over a 2x2 space-to-depth layout; the
-        param tree matches `_stem_plain` exactly (see models/s2d.py)."""
-        from dd3d_tpu.models.s2d import S2DConvNorm, depth_to_space, space_to_depth
+        param tree matches `_stem_plain` exactly (see models/s2d.py).
+
+        With `s2d_fold` the whole s2d stem additionally runs on ONE
+        guard-banded (1, B*(H+G), W, C) canvas (s2d.py fold_batch_rows):
+        XLA's batch-minor weight-gradient layouts (B=40 padded to 128
+        lanes, the [5,5,12,64] stem dW at ~2% MFU) disappear because the
+        batch dim is gone. Exactness notes in models/s2d.py."""
+        from dd3d_tpu.models.s2d import (
+            S2DConvNorm, depth_to_space, space_to_depth, s2d4_to_s2d2,
+            fold_batch_rows, fold_row_mask, unfold_batch_rows,
+        )
 
         ch = self.channels
-        x = space_to_depth(x, 2)
-        x = S2DConvNorm(ch[0], 7, mode="s1", norm=self.norm, dtype=self.dtype, name="base_layer")(x, train)
-        x = relu(x)
-        for j in range(self.levels[0]):
-            x = S2DConvNorm(ch[0], 3, mode="s1", norm=self.norm, dtype=self.dtype, name=f"level0_conv{j}")(x, train)
+        base4 = bool(self.s2d_base4) and not self.s2d_fold
+        if base4:
+            # 7x7 base at s2d(4): [3,3,48,256] kernel, then repack to the
+            # s2d(2) domain for level0/level1.
+            x = space_to_depth(x, 4)
+            x = S2DConvNorm(ch[0], 7, mode="s1", factor=4, norm=self.norm,
+                            dtype=self.dtype, name="base_layer")(x, train)
             x = relu(x)
+            x = s2d4_to_s2d2(x)
+        else:
+            x = space_to_depth(x, 2)
+        b, hs = x.shape[0], x.shape[1]
+        # G >= max conv pad in the s2d domain (base 7x7 -> K=5, P=2).
+        guard = 4
+        fold = bool(self.s2d_fold) and b > 1
+        mask = None
+        vf = 1.0
+        if fold:
+            x = fold_batch_rows(x, guard)
+            mask = fold_row_mask(b, hs, guard)
+            vf = hs / (hs + guard)
+
+        def _relu_mask(x):
+            x = relu(x)
+            # guard rows are BN-bias constants after norm+relu; the next
+            # conv reads them as zero padding, so re-zero (fuses into the
+            # relu elementwise pass).
+            return x * mask.astype(x.dtype) if fold else x
+
+        if not base4:
+            x = S2DConvNorm(ch[0], 7, mode="s1", norm=self.norm, dtype=self.dtype,
+                            valid_frac=vf, name="base_layer")(x, train, row_mask=mask)
+            x = _relu_mask(x)
+        for j in range(self.levels[0]):
+            x = S2DConvNorm(ch[0], 3, mode="s1", norm=self.norm, dtype=self.dtype,
+                            valid_frac=vf, name=f"level0_conv{j}")(x, train, row_mask=mask)
+            x = _relu_mask(x)
         if "level0" in self.out_features:
-            outputs["level0"] = depth_to_space(x, 2)
+            x0 = unfold_batch_rows(x, b, guard) if fold else x
+            outputs["level0"] = depth_to_space(x0, 2)
         # first level1 conv is stride 2 in the original graph: it consumes the
         # s2d layout and produces the plain half-resolution layout.
-        x = S2DConvNorm(ch[1], 3, mode="exit2", norm=self.norm, dtype=self.dtype, name="level1_conv0")(x, train)
+        x = S2DConvNorm(ch[1], 3, mode="exit2", norm=self.norm, dtype=self.dtype,
+                        valid_frac=vf, name="level1_conv0")(x, train, row_mask=mask)
         x = relu(x)
+        if fold:
+            x = unfold_batch_rows(x, b, guard)
         for j in range(1, self.levels[1]):
             x = ConvNorm(ch[1], 3, 1, norm=self.norm, dtype=self.dtype, name=f"level1_conv{j}")(x, train)
             x = relu(x)
@@ -341,6 +393,8 @@ def _dla_trunk(cfg, dtype):
         out_features=tuple(cfg.FE.BACKBONE.OUT_FEATURES),
         norm=cfg.FE.BACKBONE.NORM,
         s2d_stem=s2d,
+        s2d_fold=bool(cfg.TPU.get("S2D_STEM_FOLD", False)),
+        s2d_base4=bool(cfg.TPU.get("S2D_BASE4", False)),
         dtype=dtype,
     )
     out_channels = {f"level{i}": channels[i] for i in range(6)}

@@ -47,21 +47,87 @@ def depth_to_space(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h * factor, w * factor, c)
 
 
-def _s2d_indices_stride1(k: int):
-    """Index map for a stride-1, symmetric-pad conv re-expressed over s2d(2).
+# ---------------------------------------------------------------------------
+# Guard-banded batch fold: run the whole stem on ONE (1, B*(H+G), W, C)
+# canvas instead of (B, H, W, C).
+#
+# Why: for the stem's weight-gradient convolutions XLA picks BATCH-minor
+# layouts (e.g. bf16[40,192,640,12]{0,3,2,1} — batch on the 128-lane axis,
+# padded 40->128), inflating HBM traffic and MXU occupancy ~3.2x; the
+# [5,5,12,64] stem dW alone measured 11.5 ms/step at batch 40 (~2% MFU,
+# xplane trace in ROADMAP round-4). With batch folded into rows the batch
+# dim is gone and lanes carry W=640 exactly.
+#
+# Exactness: stride-1 convs with symmetric zero padding P read at most P
+# rows across an image boundary; G >= P zero guard rows between images
+# reproduce the per-image zero-padding semantics exactly. Conv outputs AT
+# guard rows read real rows of adjacent images, so they are garbage —
+# they are masked to zero before BN (so batch statistics see exact zeros)
+# and the statistics are rescaled by the exact valid-row fraction
+# H/(H+G); the post-relu mask re-zeroes the guard rows (BN bias + relu
+# make them non-zero constants) before they are read as padding by the
+# next conv. Oracle: tests/test_s2d_stem.py fold parametrizations.
+# ---------------------------------------------------------------------------
 
-    Original: out[2i+py] = sum_ky w[ky] * in[2i+py+ky-p], p = (k-1)//2.
-    s2d:      out'[i+u-P] covers it with ky = 2u + q - py + (p - 2P),
-              window K = p + 2, P = (K-1)//2 (=> p - 2P = -1 for odd k).
-    Returns (flat tap index array [K,K,2,2,2,2] over (u,v,qy,qx,py,px), mask).
+
+def s2d4_to_s2d2(x: jnp.ndarray) -> jnp.ndarray:
+    """Repack an s2d(4) tensor (B, H/4, W/4, 16c) into the equivalent
+    s2d(2) tensor (B, H/2, W/2, 4c).
+
+    Phase algebra: global row 4i + py with py = 2*ay + by is s2d(2) row
+    r = 2i + ay with row-phase by (same for columns), so the (py, px, c)
+    channel packing splits into (ay, by, ax, bx, c) and (ay, ax) move back
+    into the spatial grid. Property: s2d4_to_s2d2(space_to_depth(x, 4)) ==
+    space_to_depth(x, 2) (tests/test_s2d_stem.py)."""
+    b, h, w, c16 = x.shape
+    c = c16 // 16
+    x = x.reshape(b, h, w, 2, 2, 2, 2, c)  # (ay, by, ax, bx, c)
+    x = x.transpose(0, 1, 3, 2, 5, 4, 6, 7)  # (b, h, ay, w, ax, by, bx, c)
+    return x.reshape(b, 2 * h, 2 * w, 4 * c)
+
+
+def fold_batch_rows(x: jnp.ndarray, guard: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (1, B*(H+guard), W, C) with `guard` zero rows
+    appended after each image."""
+    b, h, w, c = x.shape
+    x = jnp.pad(x, ((0, 0), (0, guard), (0, 0), (0, 0)))
+    return x.reshape(1, b * (h + guard), w, c)
+
+
+def unfold_batch_rows(x: jnp.ndarray, batch: int, guard: int) -> jnp.ndarray:
+    """Inverse of fold_batch_rows (discards the guard rows)."""
+    _, r, w, c = x.shape
+    hp = r // batch
+    return x.reshape(batch, hp, w, c)[:, : hp - guard]
+
+
+def fold_row_mask(batch: int, h: int, guard: int) -> jnp.ndarray:
+    """(1, B*(H+guard), 1, 1) float32 {0,1} mask of the valid (image) rows."""
+    valid = (np.arange(batch * (h + guard)) % (h + guard)) < h
+    return jnp.asarray(valid[None, :, None, None], jnp.float32)
+
+
+def _s2d_indices_stride1(k: int, f: int = 2):
+    """Index map for a stride-1, symmetric-pad conv re-expressed over s2d(f).
+
+    Original: out[f*i+py] = sum_ky w[ky] * in[f*i+py+ky-p], p = (k-1)//2.
+    s2d:      out'[i+u-P] covers it with ky = f*u + q - py + (p - f*P);
+              we use P = (p+1)/f (requires (p+1) % f == 0, true for the
+              7x7/f=4 and all odd-k/f=2 cases) so the offset is -1, with
+              window K = (k+f-1)//f + 1.
+    Returns (window K, flat tap index array [K,K,f,f,f,f] over
+    (u,v,qy,qx,py,px), mask).
     """
     p = (k - 1) // 2
-    K = p + 2
+    if (p + 1) % f != 0:
+        raise ValueError(f"s2d(f={f}) needs (pad+1) % f == 0 for k={k}")
+    K = (k + f - 1) // f + 1
+    assert K % 2 == 1, (k, f, K)  # symmetric-pad window
     u = np.arange(K)
-    q = np.arange(2)
-    ph = np.arange(2)
+    q = np.arange(f)
+    ph = np.arange(f)
     # ky[u, qy, py]
-    ky = 2 * u[:, None, None] + q[None, :, None] - ph[None, None, :] - 1
+    ky = f * u[:, None, None] + q[None, :, None] - ph[None, None, :] - 1
     ok_y = (ky >= 0) & (ky < k)
     kyc = np.clip(ky, 0, k - 1)
     # broadcast to [u, v, qy, qx, py, px]
@@ -72,19 +138,20 @@ def _s2d_indices_stride1(k: int):
     return K, flat, mask
 
 
-def s2d_weights_stride1(w: jnp.ndarray):
-    """(k, k, ci, co) stride-1 conv kernel -> (K, K, 4*ci, 4*co) s2d kernel.
+def s2d_weights_stride1(w: jnp.ndarray, f: int = 2):
+    """(k, k, ci, co) stride-1 conv kernel -> (K, K, f²*ci, f²*co) s2d(f)
+    kernel.
 
     Input channel packing (qy, qx, ci); output packing (py, px, co), matching
     `space_to_depth`. Padding of the s2d conv must be P = (K-1)//2 symmetric.
     """
     k, _, ci, co = w.shape
-    K, flat, mask = _s2d_indices_stride1(k)
+    K, flat, mask = _s2d_indices_stride1(k, f)
     wf = w.reshape(k * k, ci, co)
     big = wf[flat] * jnp.asarray(mask[..., None, None], dtype=w.dtype)
     # [u, v, qy, qx, py, px, ci, co] -> [u, v, qy, qx, ci, py, px, co]
     big = big.transpose(0, 1, 2, 3, 6, 4, 5, 7)
-    return big.reshape(K, K, 4 * ci, 4 * co)
+    return big.reshape(K, K, f * f * ci, f * f * co)
 
 
 def s2d_weights_exit2(w: jnp.ndarray):
@@ -136,6 +203,12 @@ class _TiledBatchNorm(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: Any = jnp.float32
+    # Fraction of rows that are real image rows when the input is a
+    # guard-banded batch-folded canvas whose guard rows are exactly zero
+    # (fold_batch_rows); 1.0 = plain input. Zero guard rows contribute
+    # nothing to sum(x) / sum(x^2), so dividing the raw means by this
+    # fraction recovers the exact per-image statistics.
+    valid_frac: float = 1.0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -148,9 +221,12 @@ class _TiledBatchNorm(nn.Module):
             "batch_stats", "var", lambda *_: jnp.ones((self.features,), jnp.float32)
         )
         if train:
-            xr = x.astype(jnp.float32).reshape(-1, self.tile, self.features)
-            mean = xr.mean(axis=(0, 1))
-            mean2 = jnp.square(xr).mean(axis=(0, 1))
+            # stats at least fp32 (bf16 inputs upcast; f64 stays f64)
+            stat_dt = jnp.promote_types(x.dtype, jnp.float32)
+            xr = x.astype(stat_dt).reshape(-1, self.tile, self.features)
+            inv_vf = 1.0 / float(self.valid_frac)
+            mean = xr.mean(axis=(0, 1)) * inv_vf
+            mean2 = jnp.square(xr).mean(axis=(0, 1)) * inv_vf
             var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
@@ -200,23 +276,29 @@ class S2DConvNorm(nn.Module):
     norm: str = "BN"
     dtype: Any = jnp.bfloat16
     kernel_init: Callable = kaiming_normal_fan_out
+    # space-to-depth factor (mode "s1" only; "exit2" is f=2-specific).
+    factor: int = 2
+    # Valid-row fraction for batch-folded canvases (see fold_batch_rows);
+    # 1.0 = plain (B, H, W, C) input.
+    valid_frac: float = 1.0
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, row_mask: Optional[jnp.ndarray] = None):
         if self.norm in ("", None):
             raise NotImplementedError("s2d stem requires a norm (no-bias convs)")
-        cin = x.shape[-1] // 4  # input always arrives in s2d layout
+        f2 = self.factor * self.factor
+        cin = x.shape[-1] // f2  # input always arrives in s2d layout
         w = _Kernel(
             shape=(self.kernel_size, self.kernel_size, cin, self.features),
             kernel_init=self.kernel_init,
             name="conv",
         )()
         if self.mode == "s1":
-            wt = s2d_weights_stride1(w)
+            wt = s2d_weights_stride1(w, self.factor)
             pad = ((wt.shape[0] - 1) // 2,) * 2
             padding = (pad, pad)
         elif self.mode == "exit2":
-            assert self.kernel_size == 3
+            assert self.kernel_size == 3 and self.factor == 2
             wt = s2d_weights_exit2(w)
             padding = ((1, 0), (1, 0))
         else:
@@ -228,16 +310,23 @@ class S2DConvNorm(nn.Module):
             padding=padding,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        tile = 4 if self.mode == "s1" else 1
+        if row_mask is not None:
+            # Guard-row conv outputs read rows of two adjacent images —
+            # zero them so the BN statistics below see exact zeros there.
+            y = y * row_mask.astype(y.dtype)
+        tile = f2 if self.mode == "s1" else 1
         if self.norm == "BN":
-            if tile == 1:
+            if tile == 1 and self.valid_frac == 1.0:
                 norm = nn.BatchNorm(
                     use_running_average=not train, momentum=0.9, epsilon=1e-5,
                     dtype=self.dtype, name="norm",
                 )
                 y = norm(y)
             else:
-                y = _TiledBatchNorm(features=self.features, tile=tile, dtype=self.dtype, name="norm")(y, train)
+                y = _TiledBatchNorm(
+                    features=self.features, tile=tile, dtype=self.dtype,
+                    valid_frac=self.valid_frac, name="norm",
+                )(y, train)
         elif self.norm == "FrozenBN":
             if tile == 1:
                 y = FrozenBatchNorm(features=self.features, dtype=self.dtype, name="norm")(y)

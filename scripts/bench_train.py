@@ -61,4 +61,11 @@ def main(batch=16, h=384, w=1280, iters=10, remat="none"):
 
 
 if __name__ == "__main__":
-    main()
+    import argparse
+
+    p = argparse.ArgumentParser()
+    p.add_argument("batch", nargs="?", type=int, default=16)
+    p.add_argument("--remat", default="none")
+    p.add_argument("--iters", type=int, default=10)
+    a = p.parse_args()
+    main(batch=a.batch, remat=a.remat, iters=a.iters)

@@ -110,6 +110,10 @@ def main():
     cfg = get_experiment_cfg("dd3d_kitti_dla34")
     if "--s2d" in sys.argv:
         cfg.TPU.S2D_STEM = True
+    if "--fold" in sys.argv:
+        cfg.TPU.S2D_STEM_FOLD = True
+    if "--base4" in sys.argv:
+        cfg.TPU.S2D_BASE4 = True
     model = build_model(cfg)
     if mode == "train":
         from bench_train_scan import synth_batch

@@ -28,3 +28,23 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.RandomState(0)
+
+
+@pytest.fixture(autouse=True)
+def _reset_quant_globals():
+    """The int8-PTQ trace-time globals (models/layers.py) are set from the
+    cfg INSIDE jitted closures (set_quant_from_cfg) and deliberately persist
+    for the process — so a test that traces with TPU.QUANT_INT8=True would
+    otherwise leak quantized convs into every later folded-conv test
+    (test_int8_static polluted test_level_pack's FrozenBN cases). Restore
+    the defaults around every test."""
+    import dd3d_tpu.models.layers as L
+
+    global _QUANT_DEFAULTS
+    if _QUANT_DEFAULTS is None:  # captured once, before any test can pollute
+        _QUANT_DEFAULTS = (L.QUANT_INT8, L.QUANT_MIN_CH, L.QUANT_SCALES, L.QUANT_CALL_COUNTS)
+    yield
+    L.QUANT_INT8, L.QUANT_MIN_CH, L.QUANT_SCALES, L.QUANT_CALL_COUNTS = _QUANT_DEFAULTS
+
+
+_QUANT_DEFAULTS = None

@@ -12,7 +12,7 @@ import jax.numpy as jnp
 from dd3d_tpu.models.dla import DLA, BasicBlock
 
 
-def _models(norm="BN", dtype=jnp.float32):
+def _models(norm="BN", dtype=jnp.float32, fold=False, base4=False):
     kw = dict(
         levels=[1, 1, 1, 2, 2, 1],
         channels=[16, 32, 64, 128, 256, 512],
@@ -21,7 +21,7 @@ def _models(norm="BN", dtype=jnp.float32):
         norm=norm,
         dtype=dtype,
     )
-    return DLA(s2d_stem=False, **kw), DLA(s2d_stem=True, **kw)
+    return DLA(s2d_stem=False, **kw), DLA(s2d_stem=True, s2d_fold=fold, s2d_base4=base4, **kw)
 
 
 def test_s2d_param_tree_identical():
@@ -34,9 +34,21 @@ def test_s2d_param_tree_identical():
     assert flat_p == flat_s
 
 
+def test_s2d4_to_s2d2_property(rng):
+    """s2d4_to_s2d2(space_to_depth(x, 4)) == space_to_depth(x, 2)."""
+    from dd3d_tpu.models.s2d import s2d4_to_s2d2, space_to_depth
+
+    x = jnp.asarray(rng.rand(2, 16, 24, 3).astype(np.float32))
+    np.testing.assert_array_equal(
+        np.asarray(s2d4_to_s2d2(space_to_depth(x, 4))),
+        np.asarray(space_to_depth(x, 2)),
+    )
+
+
 @pytest.mark.slow
-def test_s2d_stem_matches_plain_eval(rng):
-    plain, s2d = _models()
+@pytest.mark.parametrize("fold,base4", [(False, False), (True, False), (False, True)])
+def test_s2d_stem_matches_plain_eval(rng, fold, base4):
+    plain, s2d = _models(fold=fold, base4=base4)
     x = jnp.asarray(rng.rand(2, 64, 96, 3).astype(np.float32) * 255 - 127.0)
     variables = plain.init(jax.random.PRNGKey(3), x, train=False)
     # randomize BN stats so eval mode actually exercises them
@@ -52,8 +64,9 @@ def test_s2d_stem_matches_plain_eval(rng):
 
 
 @pytest.mark.slow
-def test_s2d_stem_matches_plain_train_and_stats(rng):
-    plain, s2d = _models()
+@pytest.mark.parametrize("fold,base4", [(False, False), (True, False), (False, True)])
+def test_s2d_stem_matches_plain_train_and_stats(rng, fold, base4):
+    plain, s2d = _models(fold=fold, base4=base4)
     x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32) * 255 - 127.0)
     variables = plain.init(jax.random.PRNGKey(3), x, train=False)
     out_p, mut_p = plain.apply(variables, x, train=True, mutable=["batch_stats"])
@@ -110,6 +123,81 @@ def test_s2d_stem_train_mode_value(rng):
     out_st = s2d.apply(variables, x, train=True)
     for k in out_st:
         np.testing.assert_array_equal(np.asarray(out_ht[k]), np.asarray(out_st[k]))
+
+
+def test_s2d_fold_gradients_match_unfolded(rng):
+    """The batch-folded stem exists for the BACKWARD pass (dW layouts); its
+    gradient must equal the unfolded path's as a FUNCTION.
+
+    Compared in float64: the live-BN backward under a sum-of-squares loss
+    is ill-conditioned in f32 (BN output is scale-invariant in the conv
+    kernel, so kernel-gradient terms nearly cancel — measured ~0.2 relmax
+    of pure f32 rounding noise against an f64 oracle for BOTH paths), so
+    an f32-vs-f32 comparison only measures that noise. In f64 the two
+    formulations agree to ~1e-10, proving the rescaled-stats fold gradient
+    is the same mathematical function."""
+    from jax import enable_x64
+    from dd3d_tpu.models.s2d import (
+        S2DConvNorm, space_to_depth, fold_batch_rows, fold_row_mask,
+        unfold_batch_rows,
+    )
+
+    with enable_x64():
+        B, H, W = 3, 16, 24
+        x = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float64)) * 10 - 5
+        xs = space_to_depth(x, 2)
+        hs, G = H // 2, 4
+        mod_plain = S2DConvNorm(16, 7, mode="s1", norm="BN", dtype=jnp.float64)
+        mod_fold = S2DConvNorm(
+            16, 7, mode="s1", norm="BN", dtype=jnp.float64, valid_frac=hs / (hs + G)
+        )
+        v = mod_plain.init(jax.random.PRNGKey(0), xs, train=False)
+        v = jax.tree.map(lambda a: a.astype(jnp.float64), v)
+        mask = fold_row_mask(B, hs, G)
+        xf = fold_batch_rows(xs, G)
+
+        def loss_plain(params):
+            y, _ = mod_plain.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                xs, train=True, mutable=["batch_stats"],
+            )
+            return jnp.sum(jnp.square(y))
+
+        def loss_fold(params):
+            y, _ = mod_fold.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                xf, train=True, row_mask=mask, mutable=["batch_stats"],
+            )
+            return jnp.sum(jnp.square(unfold_batch_rows(y, B, G)))
+
+        np.testing.assert_allclose(
+            float(loss_plain(v["params"])), float(loss_fold(v["params"])), rtol=1e-9
+        )
+        gp = jax.grad(loss_plain)(v["params"])
+        gf = jax.grad(loss_fold)(v["params"])
+        for (path, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(gp)[0], jax.tree_util.tree_leaves(gf)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-9,
+                err_msg="/".join(str(k.key) for k in path),
+            )
+
+
+def test_s2d_fold_roundtrip():
+    """fold/unfold are exact inverses; the row mask marks image rows."""
+    from dd3d_tpu.models.s2d import fold_batch_rows, fold_row_mask, unfold_batch_rows
+
+    x = jnp.asarray(np.random.RandomState(0).rand(3, 8, 5, 2).astype(np.float32))
+    f = fold_batch_rows(x, 4)
+    assert f.shape == (1, 3 * 12, 5, 2)
+    np.testing.assert_array_equal(np.asarray(unfold_batch_rows(f, 3, 4)), np.asarray(x))
+    m = fold_row_mask(3, 8, 4)
+    assert m.shape == (1, 36, 1, 1)
+    # masked canvas == canvas (guards already zero)
+    np.testing.assert_array_equal(np.asarray(f * m), np.asarray(f))
+    # mask zeroes exactly the guard rows
+    assert float(m.sum()) == 3 * 8
 
 
 def test_s2d_cli_coercion():
