@@ -136,8 +136,28 @@ def main():
         intrinsics = jnp.asarray(np.tile(k, (batch_size, 1, 1)))
         variables = model.init(jax.random.PRNGKey(0), images[:1], train=False)
 
+        if "--int8" in sys.argv:
+            # Mirror bench.py's shipped static-int8 config exactly.
+            import json
+            import tempfile
+
+            from calibrate_int8 import capture_scales
+
+            cfg.TPU.QUANT_INT8 = True
+            cfg.TPU.QUANT_MIN_CH = 32
+            calib_cfg = cfg.clone()
+            calib_cfg.TPU.QUANT_MIN_CH = 0
+            scales = capture_scales(calib_cfg, model, variables, [images])
+            scales_path = os.path.join(tempfile.gettempdir(), f"prof_scales_{os.getpid()}.json")
+            with open(scales_path, "w") as f:
+                json.dump(scales, f)
+            cfg.TPU.QUANT_SCALES_PATH = scales_path
+
         @jax.jit
         def infer(v, im, intr):
+            import dd3d_tpu.models.layers as L
+
+            L.set_quant_from_cfg(cfg)
             return dd3d_inference(cfg, model.apply(v, im, train=False), intr)
 
         _trace(infer, (variables, images, intrinsics), f"/tmp/jtrace_infer{batch_size}_{os.getpid()}", dump_json)
