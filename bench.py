@@ -55,20 +55,9 @@ def main():
     # Calibrate static scales on the bench inputs (deployment calibrates on
     # representative frames via scripts/calibrate_int8.py; throughput does
     # not depend on the scale values).
-    import os
-    import sys
-    import tempfile
+    from dd3d_tpu.models.calibrate import prepare_static_scales
 
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "scripts"))
-    from calibrate_int8 import capture_scales
-
-    calib_cfg = cfg.clone()
-    calib_cfg.TPU.QUANT_MIN_CH = 0
-    scales = capture_scales(calib_cfg, model, variables, [images])
-    scales_path = os.path.join(tempfile.gettempdir(), f"bench_scales_{os.getpid()}.json")
-    with open(scales_path, "w") as f:
-        json.dump(scales, f)
-    cfg.TPU.QUANT_SCALES_PATH = scales_path
+    cfg = prepare_static_scales(cfg, model, variables, [images], tag="bench")
 
     @jax.jit
     def infer(variables, images, intrinsics):

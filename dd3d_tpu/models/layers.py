@@ -176,12 +176,25 @@ QUANT_MIN_CH = 256
 QUANT_SCALES = {}
 QUANT_CALL_COUNTS = {}
 
+# Guard on the call-index invariant above (VERDICT r4): each calibrated scale
+# carries a shape tag "HxWxC" of the activation it was observed on (batch
+# excluded — scale is per-tensor, not per-sample). At static lookup the
+# current call's tag must match the calibrated one for that index; a mismatch
+# (reordered/conditionally-skipped tower call, or serving a different canvas
+# than calibrated) falls back to the DYNAMIC scale and warns — degraded
+# throughput, never silently-wrong constants. Old scale files without tags
+# keep the unchecked behavior.
+QUANT_TAGS = {}
+# Trace-time capture: {path: [tag per call]} in sow order, read back by
+# scripts/calibrate_int8.py after the calibration trace to write __tags__.
+QUANT_OBSERVED_TAGS = {}
+# (path, idx, calibrated_tag, got_tag) per fallback, for tests/monitoring.
+QUANT_TAG_MISMATCHES = []
+
 _SCALES_FILE_CACHE = {}
 
 
-def load_quant_scales(path):
-    """Load a calibration JSON {conv_path: amax | [amax per call]}; values
-    normalize to tuples (hashable, per-call-indexable); cached by (path, mtime)."""
+def _load_scales_file(path):
     import json
     import os
 
@@ -189,11 +202,27 @@ def load_quant_scales(path):
     if key not in _SCALES_FILE_CACHE:
         with open(path) as f:
             raw = json.load(f)
-        _SCALES_FILE_CACHE[key] = {
+        tags = {str(k): tuple(str(t) for t in v) for k, v in raw.pop("__tags__", {}).items()}
+        scales = {
             str(k): tuple(float(x) for x in v) if isinstance(v, (list, tuple)) else (float(v),)
             for k, v in raw.items()
         }
+        _SCALES_FILE_CACHE[key] = (scales, tags)
     return _SCALES_FILE_CACHE[key]
+
+
+def load_quant_scales(path):
+    """Load a calibration JSON {conv_path: amax | [amax per call]}; values
+    normalize to tuples (hashable, per-call-indexable); cached by (path, mtime).
+    The optional "__tags__" entry (shape tags, see QUANT_TAGS) is split out —
+    use load_quant_tags for it."""
+    return _load_scales_file(path)[0]
+
+
+def load_quant_tags(path):
+    """The {conv_path: (tag per call)} shape tags of a calibration JSON
+    (empty for pre-tag files)."""
+    return _load_scales_file(path)[1]
 
 
 def set_quant_from_cfg(cfg):
@@ -201,14 +230,18 @@ def set_quant_from_cfg(cfg):
     TPU.QUANT_SCALES_PATH. Call inside the function being jitted (runs at
     trace time only)."""
     global QUANT_INT8, QUANT_MIN_CH, QUANT_SCALES, QUANT_CALL_COUNTS
+    global QUANT_TAGS, QUANT_OBSERVED_TAGS, QUANT_TAG_MISMATCHES
     tpu = cfg.get("TPU", {})
     QUANT_INT8 = bool(tpu.get("QUANT_INT8", False))
     QUANT_MIN_CH = int(tpu.get("QUANT_MIN_CH", 256))
     scales_path = tpu.get("QUANT_SCALES_PATH", "") or ""
     QUANT_SCALES = load_quant_scales(scales_path) if scales_path else {}
+    QUANT_TAGS = load_quant_tags(scales_path) if scales_path else {}
     # Per-trace call-index counter (see QUANT_SCALES): every traced closure
     # calls this at its start, so indices restart at 0 per trace.
     QUANT_CALL_COUNTS = {}
+    QUANT_OBSERVED_TAGS = {}
+    QUANT_TAG_MISMATCHES = []
 
 
 def _int8_conv(x, kernel, *, strides, padding, rhs_dilation, groups, out_dtype, act_amax=None):
@@ -287,13 +320,30 @@ class FoldableConv(nn.Module):
             self.sow("intermediates", "act_amax", jnp.max(jnp.abs(x.astype(jnp.float32))))
             # Per-call static scale lookup; the trace-time call counter
             # mirrors the order calibration sowed (set_quant_from_cfg
-            # resets it per traced closure).
+            # resets it per traced closure). The shape tag makes the
+            # call-order invariant CHECKED: a mismatched tag means the call
+            # pattern diverged from calibration (or the canvas changed) and
+            # the scale constant would be wrong — fall back to dynamic.
             path = "/".join(self.scope.path)
             idx = QUANT_CALL_COUNTS.get(path, 0)
             QUANT_CALL_COUNTS[path] = idx + 1
+            tag = f"{x.shape[1]}x{x.shape[2]}x{x.shape[3]}"
+            QUANT_OBSERVED_TAGS.setdefault(path, []).append(tag)
             entry = QUANT_SCALES.get(path)
             if entry is not None and idx < len(entry):
-                act_amax = entry[idx]
+                expect = QUANT_TAGS.get(path)
+                if expect is not None and idx < len(expect) and expect[idx] != tag:
+                    QUANT_TAG_MISMATCHES.append((path, idx, expect[idx], tag))
+                    import logging
+
+                    logging.getLogger(__name__).warning(
+                        "static int8 scale tag mismatch at %s call %d: calibrated "
+                        "on %s, tracing %s — falling back to a dynamic scale "
+                        "(recalibrate for this canvas/call pattern)",
+                        path, idx, expect[idx], tag,
+                    )
+                else:
+                    act_amax = entry[idx]
         if QUANT_INT8 and mul is not None and x.shape[-1] >= QUANT_MIN_CH:
             # Folded convs exist only in eval graphs (and FrozenBN trains);
             # quantizing exactly this set covers the backbone + towers and

@@ -34,48 +34,9 @@ sys.path.insert(1, os.path.dirname(os.path.abspath(__file__)))
 import numpy as np
 
 
-def capture_scales(cfg, model, variables, image_batches):
-    """Run calibration batches; returns {conv_path: act_amax} (python floats).
-
-    `image_batches` yields (B, H, W, 3) arrays (same static canvas). The
-    QUANT globals are pinned from cfg with QUANT_INT8 forced ON so the
-    observed activations follow the deployment (quantized-upstream) regime.
-    """
-    import jax
-
-    import dd3d_tpu.models.layers as _L
-    from flax import traverse_util
-
-    calib_cfg = cfg.clone()
-    calib_cfg.TPU.QUANT_INT8 = True
-    calib_cfg.TPU.QUANT_SCALES_PATH = ""  # dynamic scales during calibration
-
-    @jax.jit
-    def capture(variables, images):
-        _L.set_quant_from_cfg(calib_cfg)  # trace-time, see layers.py
-        _, inter = model.apply(variables, images, train=False, mutable=["intermediates"])
-        return inter["intermediates"]
-
-    running = None
-    n = 0
-    for images in image_batches:
-        inter = jax.device_get(capture(variables, images))
-        # sow appends one abs-max PER CALL (shared tower convs run once per
-        # FPN level), so each value is a tuple; scales stay per call site.
-        flat = {
-            "/".join(k[:-1]): [float(x) for x in v]
-            for k, v in traverse_util.flatten_dict(inter).items()
-            if k[-1] == "act_amax"
-        }
-        running = flat if running is None else {
-            k: [max(a, b) for a, b in zip(running[k], flat[k])] for k in flat
-        }
-        n += 1
-    if not running:
-        raise ValueError("no calibration batches")
-    n_calls = sum(len(v) for v in running.values())
-    print(f"calibrated {len(running)} convs / {n_calls} call sites over {n} batches")
-    return running
+# Library implementation lives in the package (usable from bench.py,
+# __graft_entry__.dryrun_multichip, tests); this CLI re-exports it.
+from dd3d_tpu.models.calibrate import capture_scales, prepare_static_scales  # noqa: F401,E402
 
 
 def main():
@@ -133,7 +94,8 @@ def main():
 
     scales = capture_scales(cfg, model, variables, batches())
     if args.headroom != 1.0:
-        scales = {kk: v * args.headroom for kk, v in scales.items()}
+        scales = {kk: v if kk == "__tags__" else [x * args.headroom for x in v]
+                  for kk, v in scales.items()}
     with open(args.out, "w") as f:
         json.dump(scales, f, indent=0, sort_keys=True)
     print(f"wrote {args.out}; use with TPU.QUANT_INT8=True TPU.QUANT_SCALES_PATH={args.out}")

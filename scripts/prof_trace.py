@@ -116,6 +116,10 @@ def main():
         cfg.TPU.S2D_BASE4 = True
     model = build_model(cfg)
     if mode == "train":
+        if "--int8" in sys.argv:
+            # Quantization is eval-only by design (round() has zero gradient;
+            # the train step forces QUANT_INT8 off at trace time).
+            print("NOTE: --int8 has no effect in train mode; profiling bf16 training.")
         from bench_train_scan import synth_batch
 
         from dd3d_tpu.training.train_loop import create_train_state
@@ -137,21 +141,13 @@ def main():
         variables = model.init(jax.random.PRNGKey(0), images[:1], train=False)
 
         if "--int8" in sys.argv:
-            # Mirror bench.py's shipped static-int8 config exactly.
-            import json
-            import tempfile
-
-            from calibrate_int8 import capture_scales
+            # Mirror bench.py's shipped static-int8 config exactly (the
+            # shared helper IS what bench.py runs, so they cannot drift).
+            from dd3d_tpu.models.calibrate import prepare_static_scales
 
             cfg.TPU.QUANT_INT8 = True
             cfg.TPU.QUANT_MIN_CH = 32
-            calib_cfg = cfg.clone()
-            calib_cfg.TPU.QUANT_MIN_CH = 0
-            scales = capture_scales(calib_cfg, model, variables, [images])
-            scales_path = os.path.join(tempfile.gettempdir(), f"prof_scales_{os.getpid()}.json")
-            with open(scales_path, "w") as f:
-                json.dump(scales, f)
-            cfg.TPU.QUANT_SCALES_PATH = scales_path
+            cfg = prepare_static_scales(cfg, model, variables, [images], tag="prof")
 
         @jax.jit
         def infer(v, im, intr):

@@ -61,6 +61,11 @@ def _capture(cfg, model, variables, images):
 def test_capture_covers_every_folded_conv(built):
     cfg, model, images, _, variables = built
     scales = _capture(cfg, model, variables, images)
+    # Every scale entry carries a matching shape-tag entry (the checked
+    # call-order invariant, models/layers.py QUANT_TAGS).
+    tags = scales.pop("__tags__")
+    assert set(tags) == set(scales)
+    assert all(len(tags[k]) == len(scales[k]) for k in scales)
     # DLA-46-C backbone + FPN norms + head towers: every ConvNorm with a
     # norm contributes one folded conv; predictors (norm-free) must not.
     assert len(scales) > 20, sorted(scales)
@@ -175,6 +180,59 @@ def test_partial_scales_fall_back_to_dynamic(built, monkeypatch):
         np.testing.assert_array_equal(dyn[k], mix[k], err_msg=k)
 
 
+def test_tag_mismatch_falls_back_to_dynamic(built, monkeypatch):
+    """The call-index invariant is CHECKED (VERDICT r4): permuting the
+    calibrated shape tags (simulating a reordered tower call pattern, or a
+    different serving canvas) must (a) record mismatches, (b) fall back to
+    the dynamic scale for exactly those calls — here calibrated-on-this-batch
+    dynamic == static, so the output stays bit-exact while the program
+    degrades to dynamic scales instead of applying wrong constants."""
+    cfg, model, images, _, variables = built
+
+    monkeypatch.setattr(L, "QUANT_INT8", True)
+    monkeypatch.setattr(L, "QUANT_MIN_CH", 0)
+    monkeypatch.setattr(L, "QUANT_SCALES", {})
+    monkeypatch.setattr(L, "QUANT_CALL_COUNTS", {})
+    monkeypatch.setattr(L, "QUANT_TAGS", {})
+    monkeypatch.setattr(L, "QUANT_OBSERVED_TAGS", {})
+    monkeypatch.setattr(L, "QUANT_TAG_MISMATCHES", [])
+    from flax import traverse_util
+
+    dyn, inter = model.apply(variables, images, train=False, mutable=["intermediates"])
+    scales = {
+        "/".join(k[:-1]): tuple(float(x) for x in v)
+        for k, v in traverse_util.flatten_dict(inter["intermediates"]).items()
+        if k[-1] == "act_amax"
+    }
+    true_tags = {k: tuple(v) for k, v in L.QUANT_OBSERVED_TAGS.items()}
+    # Rotate per-call tags — multi-call (shared tower) paths now claim each
+    # scale was calibrated on a different FPN level's shape.
+    rotated = {k: v[1:] + v[:1] for k, v in true_tags.items()}
+    multi = [k for k, v in true_tags.items() if len(set(v)) > 1]
+    assert multi, "need shared tower convs with distinct per-level shapes"
+
+    monkeypatch.setattr(L, "QUANT_SCALES", scales)
+    monkeypatch.setattr(L, "QUANT_CALL_COUNTS", {})
+    monkeypatch.setattr(L, "QUANT_TAGS", rotated)
+    monkeypatch.setattr(L, "QUANT_TAG_MISMATCHES", [])
+    out = model.apply(variables, images, train=False)
+    assert L.QUANT_TAG_MISMATCHES, "rotated tags must be detected"
+    assert {m[0] for m in L.QUANT_TAG_MISMATCHES} >= set(multi)
+    for key in dyn:
+        for lvl, (a, b) in enumerate(zip(dyn[key], out[key])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f"{key}[{lvl}]")
+
+    # Control: the true tags pass clean (no mismatch, same bit-exact output).
+    monkeypatch.setattr(L, "QUANT_CALL_COUNTS", {})
+    monkeypatch.setattr(L, "QUANT_TAGS", true_tags)
+    monkeypatch.setattr(L, "QUANT_TAG_MISMATCHES", [])
+    out2 = model.apply(variables, images, train=False)
+    assert not L.QUANT_TAG_MISMATCHES
+    for key in dyn:
+        for lvl, (a, b) in enumerate(zip(dyn[key], out2[key])):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f"{key}[{lvl}]")
+
+
 def test_scales_content_routes_through_inference_cache(built, tmp_path):
     """Two scale files at the SAME path (rewritten content) must yield
     distinct cached closures — constants are baked at trace time."""
@@ -193,7 +251,7 @@ def test_scales_content_routes_through_inference_cache(built, tmp_path):
     a = np.asarray(fn_a(variables, images, intr)["scores"])
 
     time.sleep(0.01)
-    doubled = {k: [x * 4.0 for x in v] for k, v in scales.items()}
+    doubled = {k: v if k == "__tags__" else [x * 4.0 for x in v] for k, v in scales.items()}
     p.write_text(json.dumps(doubled))
     import os
 
