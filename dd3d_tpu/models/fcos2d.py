@@ -24,7 +24,9 @@ from flax import linen as nn
 from dd3d_tpu.models.layers import (
     FoldableConv,
     PerLevelNorms,
+    PredictorConv,
     Scale,
+    fused_predictor_apply,
     kaiming_normal_fan_out,
     kaiming_uniform_a1,
 )
@@ -111,12 +113,18 @@ class FCOS2DHead(nn.Module):
             PerLevelNorms(num_levels, in_channels, self.norm, dtype=self.dtype, name=f"box2d_tower_norm{i}")
             for i in range(self.num_box_convs)
         ]
-        cls_logits = nn.Conv(self.num_classes, (3, 3), dtype=self.dtype, param_dtype=jnp.float32,
-                             kernel_init=kaiming_uniform_a1, name="cls_logits")
-        box2d_reg = nn.Conv(4, (3, 3), dtype=self.dtype, param_dtype=jnp.float32,
-                            kernel_init=kaiming_uniform_a1, name="box2d_reg")
-        centerness = nn.Conv(1, (3, 3), dtype=self.dtype, param_dtype=jnp.float32,
-                             kernel_init=kaiming_uniform_a1, name="centerness")
+        cls_logits = PredictorConv(self.num_classes, in_channels, dtype=self.dtype,
+                                   kernel_init=kaiming_uniform_a1, name="cls_logits")
+        box2d_reg = PredictorConv(4, in_channels, dtype=self.dtype,
+                                  kernel_init=kaiming_uniform_a1, name="box2d_reg")
+        centerness = PredictorConv(1, in_channels, dtype=self.dtype,
+                                   kernel_init=kaiming_uniform_a1, name="centerness")
+
+        def box_predictors(x_box):
+            # box2d_reg + centerness both read the box tower output: one
+            # concat-conv + split instead of two full activation reads
+            # (exact — layers.fused_predictor_apply; cf. fcos2d.py:141-151).
+            return fused_predictor_apply(x_box, [box2d_reg, centerness], self.dtype)
         scales = (
             [Scale(init_value=float(s) * self.box2d_scale_init_factor, name=f"scale_box2d_reg{l}")
              for l, s in enumerate(self.in_strides)]
@@ -141,8 +149,8 @@ class FCOS2DHead(nn.Module):
                     x_box = nn.relu(conv(x_box, *fold) if fold is not None else norm(conv(x_box), l, train))
 
                 logits.append(cls_logits(x_cls))
-                ctr_out.append(centerness(x_box))
-                reg = box2d_reg(x_box)
+                reg, ctr = box_predictors(x_box)
+                ctr_out.append(ctr)
                 if scales is not None:
                     reg = scales[l](reg)
                 # relu (improved-FCOS), not exp (fcos2d.py:151).
@@ -164,8 +172,9 @@ class FCOS2DHead(nn.Module):
                                            self.dtype, train)
 
             logits.extend(unpack_levels(cls_logits(x_cls), plan))
-            ctr_out.extend(unpack_levels(centerness(x_box), plan))
-            for i, reg in enumerate(unpack_levels(box2d_reg(x_box), plan)):
+            reg_pack, ctr_pack = box_predictors(x_box)
+            ctr_out.extend(unpack_levels(ctr_pack, plan))
+            for i, reg in enumerate(unpack_levels(reg_pack, plan)):
                 if scales is not None:
                     reg = scales[group[i]](reg)
                 box_reg_out.append(nn.relu(reg))

@@ -23,7 +23,9 @@ from dd3d_tpu.models.layers import (
     FoldableConv,
     Offset,
     PerLevelNorms,
+    PredictorConv,
     Scale,
+    fused_predictor_apply,
     kaiming_normal_fan_out,
     kaiming_uniform_a1,
 )
@@ -81,8 +83,8 @@ class FCOS3DHead(nn.Module):
 
         def predictor(out_ch, name, use_bias=True):
             return [
-                nn.Conv(out_ch, (3, 3), use_bias=use_bias, dtype=self.dtype, param_dtype=jnp.float32,
-                        kernel_init=kaiming_uniform_a1, name=f"{name}{i}")
+                PredictorConv(out_ch, in_channels, use_bias=use_bias, dtype=self.dtype,
+                              kernel_init=kaiming_uniform_a1, name=f"{name}{i}")
                 for i in range(n_pred)
             ]
 
@@ -108,11 +110,13 @@ class FCOS3DHead(nn.Module):
 
         def apply_predictors(x, l):
             p = l if self.per_level_predictors else 0
-            quat = box3d_quat[p](x)
-            ctr = box3d_ctr[p](x)
-            depth = box3d_depth[p](x)
-            size3d = box3d_size[p](x)
-            conf3d = box3d_conf[p](x)
+            # All five predictors read the same tower output: one concat-conv
+            # + channel split instead of five full activation reads (exact —
+            # see layers.fused_predictor_apply; cf. fcos3d.py:158-171).
+            quat, ctr, depth, size3d, conf3d = fused_predictor_apply(
+                x, [box3d_quat[p], box3d_ctr[p], box3d_depth[p], box3d_size[p], box3d_conf[p]],
+                self.dtype,
+            )
             if self.use_scale:
                 ctr = scales_proj_ctr[l](ctr)
                 size3d = scales_size[l](size3d)
@@ -154,8 +158,10 @@ class FCOS3DHead(nn.Module):
                 for i, xl in enumerate(unpack_levels(x, plan)):
                     apply_predictors(xl, group[i])
             else:
-                packs = [box3d_quat[0](x), box3d_ctr[0](x), box3d_depth[0](x),
-                         box3d_size[0](x), box3d_conf[0](x)]
+                packs = fused_predictor_apply(
+                    x, [box3d_quat[0], box3d_ctr[0], box3d_depth[0], box3d_size[0], box3d_conf[0]],
+                    self.dtype,
+                )
                 unpacked = [unpack_levels(p, plan) for p in packs]
                 for i, l in enumerate(group):
                     quat, ctr, depth, size3d, conf3d = (u[i] for u in unpacked)

@@ -426,6 +426,75 @@ class ConvNorm(nn.Module):
         return x
 
 
+class PredictorConv(nn.Module):
+    """Drop-in for the heads' 3x3 nn.Conv predictors — identical param
+    names/shapes/dtypes/init (kernel HWIO fp32 + optional bias), so
+    checkpoints and the torch converter are unaffected — whose kernel/bias
+    are attributes, enabling `fused_predictor_apply` to run sibling
+    predictors as ONE conv.
+
+    cf. the reference's per-predictor Conv2d calls
+    (tridet/modeling/dd3d/fcos2d.py:96-110, fcos3d.py:100-144); on TPU each
+    separate predictor re-reads the full tower activation from HBM (profiled
+    r5: 16.4 ms/step of 158 at batch 128), so sibling predictors fuse.
+    """
+
+    features: int
+    in_features: int
+    kernel_size: int = 3
+    use_bias: bool = True
+    dtype: Any = jnp.bfloat16
+    kernel_init: Callable = kaiming_uniform_a1
+
+    def setup(self):
+        k = self.kernel_size
+        self.kernel = self.param(
+            "kernel", self.kernel_init, (k, k, self.in_features, self.features), jnp.float32
+        )
+        self.bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            if self.use_bias
+            else None
+        )
+
+    def __call__(self, x):
+        return fused_predictor_apply(x, [self], self.dtype)[0]
+
+
+def fused_predictor_apply(x, preds, dtype):
+    """Run sibling PredictorConvs — all reading the SAME feature map, same
+    kernel size/stride — as ONE conv with output-channel-concatenated
+    kernels, then split the result. Exact: each output channel's contraction
+    is computed identically to its standalone conv; a bias-free predictor
+    gets a zero bias slice (+0). One full activation read instead of
+    len(preds) — the dominant predictor cost at batch-serving sizes."""
+    k = preds[0].kernel_size
+    assert all(m.kernel_size == k for m in preds)
+    p = k // 2
+    kern = preds[0].kernel if len(preds) == 1 else jnp.concatenate([m.kernel for m in preds], axis=-1)
+    if any(m.bias is not None for m in preds):
+        bias = jnp.concatenate(
+            [m.bias if m.bias is not None else jnp.zeros((m.features,), jnp.float32) for m in preds]
+        )
+    else:
+        bias = None
+    y = jax.lax.conv_general_dilated(
+        x.astype(dtype),
+        kern.astype(dtype),
+        window_strides=(1, 1),
+        padding=[(p, p), (p, p)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        y = y + bias.astype(y.dtype)
+    outs = []
+    o = 0
+    for m in preds:
+        outs.append(y[..., o : o + m.features])
+        o += m.features
+    return outs
+
+
 class Scale(nn.Module):
     """Learnable scalar multiplier (tridet/layers/normalization.py:12-18)."""
 

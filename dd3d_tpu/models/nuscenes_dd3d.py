@@ -17,7 +17,7 @@ from flax import linen as nn
 
 from dd3d_tpu.models import register_meta_arch
 from dd3d_tpu.models.dd3d import DD3D, build_dd3d
-from dd3d_tpu.models.layers import kaiming_uniform_a1
+from dd3d_tpu.models.layers import PredictorConv, fused_predictor_apply, kaiming_uniform_a1
 from dd3d_tpu.models.level_pack import head_groups, make_pack_plan, pack_levels, unpack_levels
 from dd3d_tpu.ops.losses import smooth_l1_loss
 
@@ -31,24 +31,32 @@ class NuscenesDD3D(nn.Module):
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False) -> Dict[str, List[jnp.ndarray]]:
         out = self.base(images, train=train)
-        attr_conv = nn.Conv(
-            self.max_num_attributes, (3, 3), dtype=self.base.dtype, param_dtype=jnp.float32,
+        in_channels = out["cls_tower_out"][0].shape[-1]
+        attr_conv = PredictorConv(
+            self.max_num_attributes, in_channels, dtype=self.base.dtype,
             kernel_init=kaiming_uniform_a1, name="attr_logits",
         )
-        speed_conv = nn.Conv(
-            1, (3, 3), dtype=self.base.dtype, param_dtype=jnp.float32,
+        speed_conv = PredictorConv(
+            1, in_channels, dtype=self.base.dtype,
             kernel_init=kaiming_uniform_a1, name="speed",
         )
+
+        def predictors(x):
+            # Both read the same cls-tower feature: one concat-conv + split
+            # (exact — layers.fused_predictor_apply).
+            attr, speed = fused_predictor_apply(x, [attr_conv, speed_conv], self.base.dtype)
+            # speed is non-negative (relu, nuscenes_dd3d.py:374).
+            return attr, nn.relu(speed)
+
         towers = out["cls_tower_out"]
         pack = self.base.pack_heads_train if train else self.base.pack_heads_eval
         groups = head_groups(towers, pack)
         attr_out, speed_out = [], []
         for group in groups:
             if len(group) == 1:
-                x = towers[group[0]]
-                attr_out.append(attr_conv(x))
-                # speed is non-negative (relu, nuscenes_dd3d.py:374).
-                speed_out.append(nn.relu(speed_conv(x)))
+                attr, speed = predictors(towers[group[0]])
+                attr_out.append(attr)
+                speed_out.append(speed)
             else:
                 # Shared predictors over the packed small levels — one conv
                 # call instead of len(group) (models/level_pack.py). Guard
@@ -60,8 +68,9 @@ class NuscenesDD3D(nn.Module):
                 # the meta-arch output contract.
                 plan = make_pack_plan([towers[l].shape[1:3] for l in group])
                 canvas = pack_levels([towers[l] for l in group], plan)
-                attr_out.extend(unpack_levels(attr_conv(canvas), plan))
-                speed_out.extend(nn.relu(s) for s in unpack_levels(speed_conv(canvas), plan))
+                attr_pack, speed_pack = predictors(canvas)
+                attr_out.extend(unpack_levels(attr_pack, plan))
+                speed_out.extend(unpack_levels(speed_pack, plan))
         out["attr_logits"] = attr_out
         out["speed"] = speed_out
         return out

@@ -35,7 +35,9 @@ CALIB_TEXT = "\n".join(
 
 def make_fixture(root: str, n_images: int = 4):
     """KITTI-format fixture with a rendered box so the 2D branch has visual
-    structure to learn from."""
+    structure to learn from. n_images > 4 varies pose over a grid (finer AP
+    resolution for the int8 A/B: with G ground-truth cars the R40 AP moves
+    in ~100/G-point steps)."""
     import cv2
 
     os.makedirs(os.path.join(root, "KITTI3D", "mv3d_kitti_splits"), exist_ok=True)
@@ -47,12 +49,16 @@ def make_fixture(root: str, n_images: int = 4):
     for i in range(n_images):
         sid = f"{i:06d}"
         sids.append(sid)
-        # a car at varying x, depth ~16-28m -> decently sized 2D box
-        x = -2.0 + 1.5 * i
-        z = 16.0 + 4.0 * i
+        # a car at varying x, depth ~14-38m -> decently sized 2D box
+        if n_images <= 4:
+            x = -2.0 + 1.5 * i
+            z = 16.0 + 4.0 * i
+        else:
+            x = -2.5 + 1.2 * (i % 5)
+            z = 14.0 + 3.5 * (i % 8)
         y = 1.65
         h3, w3, l3 = 1.5, 1.6, 3.9
-        ry = 0.1 * i
+        ry = 0.1 * (i % 12)
         # project center to get a plausible 2D box
         fx, cx_k = 721.5377, 609.5593
         fy, cy_k = 721.5377, 172.854
@@ -84,9 +90,16 @@ def main():
     parser.add_argument("--iters", type=int, default=400)
     parser.add_argument("--root", default="/tmp/dd3d_overfit_fixture")
     parser.add_argument("--min-ap", type=float, default=0.0, help="fail below this Moderate AP")
+    parser.add_argument("--n-images", type=int, default=4,
+                        help="fixture size; >4 varies car pose over a grid (finer AP steps)")
+    parser.add_argument("--int8-ab", action="store_true",
+                        help="after the bf16 eval, re-evaluate with the SHIPPED static-int8 "
+                             "config (calibrated on this fixture) and report per-metric dAP")
+    parser.add_argument("--max-dap", type=float, default=None,
+                        help="with --int8-ab: fail if any |dAP| exceeds this")
     args = parser.parse_args()
 
-    make_fixture(args.root)
+    make_fixture(args.root, n_images=args.n_images)
 
     from scripts.train import do_test, do_train
 
@@ -131,6 +144,33 @@ def main():
     print(f"OVERFIT RESULT: Car Moderate AP3D@0.5 = {ap:.2f}")
     bev_keys = [k for k in kitti if "Car_Moderate_0.5" in k and "bev" in k]
     print(f"OVERFIT RESULT: Car Moderate BEV@0.5 = {max((kitti[k] for k in bev_keys), default=float('nan')):.2f}")
+
+    if args.int8_ab:
+        # AP-level accuracy proof for the SHIPPED static-int8 serving config
+        # (VERDICT r4 #2): same trained weights, same eval stack (decode, NMS,
+        # KITTI converter, C++ R40 engine), quantization the only delta.
+        # Calibration uses the eval loader's own batches — exactly how
+        # deployment calibrates on representative frames.
+        from dd3d_tpu.data.build import build_test_dataloader
+        from dd3d_tpu.models.calibrate import prepare_static_scales
+
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        loader = build_test_dataloader(cfg, dataset_name=cfg.DATASETS.TEST.NAME, group_size=1)
+        calib_images = [batch["image"] for batch, _ in loader]
+        icfg = prepare_static_scales(cfg, model, variables, calib_images, tag="overfit_ab")
+        icfg.TPU.QUANT_MIN_CH = 32  # the shipped gate (bench.py)
+        results8 = do_test(icfg, model, output_dir, state=state)
+        kitti8 = results8.get("kitti_3d", {})
+        print("INT8 AB: metric  bf16  int8  dAP")
+        worst = 0.0
+        for k in sorted(kitti):
+            d = kitti8.get(k, float("nan")) - kitti[k]
+            worst = max(worst, abs(d))
+            print(f"INT8 AB: {k} {kitti[k]:.2f} {kitti8.get(k, float('nan')):.2f} {d:+.2f}")
+        print(f"INT8 AB RESULT: worst |dAP| = {worst:.2f}")
+        if args.max_dap is not None and worst > args.max_dap:
+            raise SystemExit(f"int8 |dAP| {worst:.2f} > allowed {args.max_dap}")
+
     if ap < args.min_ap:
         raise SystemExit(f"AP {ap:.2f} < required {args.min_ap}")
 

@@ -75,6 +75,13 @@ def test_two_process_run_matches_single_process(tmp_path):
         # (e.g. a concurrent TPU bench's host process) can skew the ranks'
         # pre-collective host work past it. Retry ONCE — a genuine pass over
         # the real transport is still required for the test to go green.
+        # The marker below must stay LOUD (VERDICT r4 #8): if it shows up in
+        # consecutive rounds' logs, treat it as a regression, not a flake —
+        # see ROADMAP "2-process retry watch".
+        print("\n" + "!" * 72, flush=True)
+        print("!!! GLOO-RETRY-FIRED: 2-process rendezvous hit DEADLINE_EXCEEDED; "
+              "retrying once on a fresh port !!!", flush=True)
+        print("!" * 72 + "\n", flush=True)
         procs, logs = launch(_free_port())
     for i, p in enumerate(procs):
         assert p.returncode == 0, f"rank {i} failed:\n{logs[i][-4000:]}"
@@ -89,6 +96,13 @@ def test_two_process_run_matches_single_process(tmp_path):
 
     # both ranks computed identical eval metrics after the real gather
     assert results[0]["eval"] == pytest.approx(results[1]["eval"])
+
+    # TEST.RANK0_METRICS over the real transport: identical metrics on both
+    # ranks, the AP engine ran ONCE (on rank 0; rank 1 got the broadcast) —
+    # the reference's rank-0-only shape, kitti_3d_evaluator.py:158-161.
+    assert results[0]["eval_rank0"] == pytest.approx(results[1]["eval_rank0"])
+    assert results[0]["eval_rank0"] == pytest.approx(results[0]["eval"])
+    assert [r["rank0_engine_calls"] for r in results] == [1, 0]
 
     # single-process reference (this pytest process: 8 local virtual devices)
     from tests.two_process_worker import run_workload

@@ -171,6 +171,21 @@ def run_workload(dataset_name="two_proc_fixture"):
     ev.process([dets[i] for i in sampler])
     results = ev.evaluate()["kitti_3d"]
 
+    # TEST.RANK0_METRICS shape over the same real transport (VERDICT r4 #5):
+    # rank 0 runs the AP engine once, rank 1 must get identical metrics from
+    # the broadcast WITHOUT running the engine (counted via a wrapper).
+    ev0 = KITTI3DEvaluator(dataset_name, iou_thresholds=[0.5], rank0_only=True)
+    ev0.process([dets[i] for i in sampler])
+    engine_calls = {"n": 0}
+    inner = ev0._compute_metrics
+
+    def counted(*a, **kw):
+        engine_calls["n"] += 1
+        return inner(*a, **kw)
+
+    ev0._compute_metrics = counted
+    results_rank0 = ev0.evaluate()["kitti_3d"]
+
     # object broadcast (non-array payload: exercises the pickle path)
     payload = {"token": "from-rank-0", "values": [1, 2, 3]} if rank == 0 else None
     bcast = comm.broadcast_from_master(payload)
@@ -181,6 +196,8 @@ def run_workload(dataset_name="two_proc_fixture"):
         "n_global_devices": jax.device_count(),
         "losses": losses,
         "eval": {k: float(v) for k, v in results.items()},
+        "eval_rank0": {k: float(v) for k, v in results_rank0.items()},
+        "rank0_engine_calls": engine_calls["n"],
         "bcast": bcast,
     }
 
