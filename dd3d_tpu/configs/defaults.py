@@ -161,6 +161,14 @@ def get_cfg() -> CfgNode:
                 "TRAIN": {"NUM_WORKERS": 8, "SAMPLER": "TrainingSampler",
                           "REPEAT_THRESHOLD": 0.4, "USE_PROCESS_POOL": "auto"},
                 "TEST": {"NUM_WORKERS": 4},
+                # Opt-in on-disk cache of DECODED+RESIZED uint8 images (one
+                # .npy per (path, mtime, resize-target)), filled by the
+                # batched native decode path. PNG inflate is the measured
+                # loader floor (~19 ms/img, ROADMAP round-4); a warm cache
+                # replaces it with a ~1.4 MB file read. "" = off. Used by
+                # the thread-pool loaders (eval always; train when the
+                # resize bucket is fixed and crop is off).
+                "DECODED_CACHE_DIR": "",
             },
             "SOLVER": {
                 "IMS_PER_BATCH": 16,

@@ -23,13 +23,16 @@ import os
 
 
 def capture_scales(cfg, model, variables, image_batches):
-    """Run calibration batches; returns {conv_path: [act_amax per call]}
-    (python floats) plus a "__tags__" entry of per-call activation shape
-    tags (see models/layers.py QUANT_TAGS).
+    """Run calibration batches; returns {conv_path: {shape_tag: act_amax}}
+    (python floats; tag = "HxWxC" of the conv's input activation, see
+    models/layers.py QUANT_SCALES).
 
-    `image_batches` yields (B, H, W, 3) arrays (same static canvas). The
-    QUANT globals are pinned from cfg with QUANT_INT8 forced ON so the
-    observed activations follow the deployment (quantized-upstream) regime.
+    `image_batches` yields (B, H, W, 3) arrays. Batches may use SEVERAL
+    canvas shapes (e.g. the TTA buckets): per-batch observed abs-maxes are
+    paired with that batch's trace-time shape tags and merged by running
+    max, so one merged file serves every calibrated canvas. The QUANT
+    globals are pinned from cfg with QUANT_INT8 forced ON so the observed
+    activations follow the deployment (quantized-upstream) regime.
     """
     import jax
 
@@ -46,32 +49,33 @@ def capture_scales(cfg, model, variables, image_batches):
         _, inter = model.apply(variables, images, train=False, mutable=["intermediates"])
         return inter["intermediates"]
 
-    running = None
+    running = {}
+    tag_cache = {}
     n = 0
     for images in image_batches:
+        canvas = tuple(images.shape[1:])
         inter = jax.device_get(capture(variables, images))
-        # sow appends one abs-max PER CALL (shared tower convs run once per
-        # FPN level), so each value is a tuple; scales stay per call site.
-        flat = {
-            "/".join(k[:-1]): [float(x) for x in v]
-            for k, v in traverse_util.flatten_dict(inter).items()
-            if k[-1] == "act_amax"
-        }
-        running = flat if running is None else {
-            k: [max(a, b) for a, b in zip(running[k], flat[k])] for k in flat
-        }
+        # QUANT_OBSERVED_TAGS holds the LATEST trace's per-call shape tags
+        # in sow order (set_quant_from_cfg resets it at each retrace, i.e.
+        # once per canvas shape); the first batch of each canvas immediately
+        # follows its trace, so snapshot then and reuse for repeats —
+        # `sow` appended one abs-max per call in the same order, so zip
+        # pairs each value with its tag.
+        if canvas not in tag_cache:
+            tag_cache[canvas] = {k: list(v) for k, v in _L.QUANT_OBSERVED_TAGS.items()}
+        tags = tag_cache[canvas]
+        for k, v in traverse_util.flatten_dict(inter).items():
+            if k[-1] != "act_amax":
+                continue
+            path = "/".join(k[:-1])
+            ent = running.setdefault(path, {})
+            for tag, amax in zip(tags.get(path, []), [float(x) for x in v]):
+                ent[tag] = max(amax, ent.get(tag, 0.0))
         n += 1
     if not running:
         raise ValueError("no calibration batches")
-    n_calls = sum(len(v) for v in running.values())
-    print(f"calibrated {len(running)} convs / {n_calls} call sites over {n} batches")
-    # Shape tags recorded at trace time (models/layers.py QUANT_TAGS): the
-    # static lookup asserts each per-call scale against these so a diverged
-    # call pattern falls back to dynamic instead of silently mis-assigning.
-    tags = {k: list(v) for k, v in _L.QUANT_OBSERVED_TAGS.items() if k in running}
-    if tags:
-        running = dict(running)
-        running["__tags__"] = tags
+    n_sites = sum(len(v) for v in running.values())
+    print(f"calibrated {len(running)} convs / {n_sites} (path, shape) sites over {n} batches")
     return running
 
 

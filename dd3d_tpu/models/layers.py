@@ -159,42 +159,40 @@ QUANT_INT8 = False
 QUANT_MIN_CH = 256
 
 # Static (calibrated) activation scales:
-# {"/".join(module_path): (amax_call0, amax_call1, ...)}. When a quantizing
-# conv's path is present, its activation scale becomes a trace-time CONSTANT
-# (amax/127) and the dynamic per-batch abs-max reduce + its extra activation
-# pass disappear from the program — the remaining dynamic-quant overhead
-# named in BASELINE.md. Scales are PER CALL SITE: the shared head-tower
-# convs run once per FPN level with very different activation ranges, so one
-# scale per flax module would be both lossy and unequal to the dynamic path;
-# QUANT_CALL_COUNTS tracks each conv's trace-time call index, which lines up
-# with the order `sow` appended the observed abs-maxes during calibration
-# (same model structure => same trace order). Missing paths (or indices)
-# fall back to dynamic scales. Produced by scripts/calibrate_int8.py:
-# every folded conv sows its per-call abs-max into the `intermediates`
-# collection (a no-op unless that collection is mutable), so calibration is
-# just inference with mutable=["intermediates"] + a running max over batches.
+# {"/".join(module_path): {"HxWxC" shape tag: act_amax}}. When a quantizing
+# conv's (path, tag) is present, its activation scale becomes a trace-time
+# CONSTANT (amax/127) and the dynamic per-batch abs-max reduce + its extra
+# activation pass disappear from the program — the remaining dynamic-quant
+# overhead named in BASELINE.md. Scales are keyed by the activation SHAPE
+# (batch excluded — scale is per-tensor): the shared head-tower convs run
+# once per FPN level with very different activation ranges, and each level
+# has a distinct shape, so the tag identifies the call site without any
+# call-ordering assumption (the r4 call-index scheme's one fragility,
+# VERDICT r4 #7) AND lets one merged file serve several canvases (TTA
+# buckets). A (path, tag) miss falls back to the DYNAMIC scale and is
+# recorded in QUANT_SCALE_MISSES — degraded throughput, never silently
+# wrong constants. Produced by dd3d_tpu/models/calibrate.py: every folded
+# conv sows its per-call abs-max into the `intermediates` collection (a
+# no-op unless that collection is mutable), so calibration is just
+# inference with mutable=["intermediates"] + a running max over batches.
 QUANT_SCALES = {}
-QUANT_CALL_COUNTS = {}
 
-# Guard on the call-index invariant above (VERDICT r4): each calibrated scale
-# carries a shape tag "HxWxC" of the activation it was observed on (batch
-# excluded — scale is per-tensor, not per-sample). At static lookup the
-# current call's tag must match the calibrated one for that index; a mismatch
-# (reordered/conditionally-skipped tower call, or serving a different canvas
-# than calibrated) falls back to the DYNAMIC scale and warns — degraded
-# throughput, never silently-wrong constants. Old scale files without tags
-# keep the unchecked behavior.
-QUANT_TAGS = {}
-# Trace-time capture: {path: [tag per call]} in sow order, read back by
-# scripts/calibrate_int8.py after the calibration trace to write __tags__.
+# Trace-time capture: {path: [tag per call]} in sow order (matches the order
+# `sow` appends abs-maxes), read back by calibrate.capture_scales to pair
+# each observed amax with its shape tag.
 QUANT_OBSERVED_TAGS = {}
-# (path, idx, calibrated_tag, got_tag) per fallback, for tests/monitoring.
-QUANT_TAG_MISMATCHES = []
+# (path, tag) per static-lookup miss while a scales file was set, for
+# tests/monitoring.
+QUANT_SCALE_MISSES = []
 
 _SCALES_FILE_CACHE = {}
 
 
-def _load_scales_file(path):
+def load_quant_scales(path):
+    """Load a calibration JSON {conv_path: {shape_tag: amax}}; cached by
+    (path, mtime). Legacy round-4 files ({conv_path: [amax per call]} +
+    "__tags__") convert on load; a legacy file WITHOUT tags cannot be keyed
+    safely and is rejected (recalibrate — scripts/calibrate_int8.py)."""
     import json
     import os
 
@@ -202,46 +200,39 @@ def _load_scales_file(path):
     if key not in _SCALES_FILE_CACHE:
         with open(path) as f:
             raw = json.load(f)
-        tags = {str(k): tuple(str(t) for t in v) for k, v in raw.pop("__tags__", {}).items()}
-        scales = {
-            str(k): tuple(float(x) for x in v) if isinstance(v, (list, tuple)) else (float(v),)
-            for k, v in raw.items()
-        }
-        _SCALES_FILE_CACHE[key] = (scales, tags)
+        tags = raw.pop("__tags__", None)
+        scales = {}
+        for k, v in raw.items():
+            if isinstance(v, dict):  # current schema
+                scales[str(k)] = {str(t): float(a) for t, a in v.items()}
+            else:  # legacy per-call list; zip with its recorded tags
+                if tags is None or k not in tags:
+                    raise ValueError(
+                        f"{path}: legacy per-call scales for {k!r} without shape tags "
+                        "cannot be used safely; recalibrate with scripts/calibrate_int8.py"
+                    )
+                vals = v if isinstance(v, (list, tuple)) else [v]
+                ent = {}
+                for t, a in zip(tags[k], vals):
+                    ent[str(t)] = max(float(a), ent.get(str(t), 0.0))
+                scales[str(k)] = ent
+        _SCALES_FILE_CACHE[key] = scales
     return _SCALES_FILE_CACHE[key]
-
-
-def load_quant_scales(path):
-    """Load a calibration JSON {conv_path: amax | [amax per call]}; values
-    normalize to tuples (hashable, per-call-indexable); cached by (path, mtime).
-    The optional "__tags__" entry (shape tags, see QUANT_TAGS) is split out —
-    use load_quant_tags for it."""
-    return _load_scales_file(path)[0]
-
-
-def load_quant_tags(path):
-    """The {conv_path: (tag per call)} shape tags of a calibration JSON
-    (empty for pre-tag files)."""
-    return _load_scales_file(path)[1]
 
 
 def set_quant_from_cfg(cfg):
     """Set the trace-time PTQ globals from TPU.QUANT_INT8 / TPU.QUANT_MIN_CH /
     TPU.QUANT_SCALES_PATH. Call inside the function being jitted (runs at
     trace time only)."""
-    global QUANT_INT8, QUANT_MIN_CH, QUANT_SCALES, QUANT_CALL_COUNTS
-    global QUANT_TAGS, QUANT_OBSERVED_TAGS, QUANT_TAG_MISMATCHES
+    global QUANT_INT8, QUANT_MIN_CH, QUANT_SCALES
+    global QUANT_OBSERVED_TAGS, QUANT_SCALE_MISSES
     tpu = cfg.get("TPU", {})
     QUANT_INT8 = bool(tpu.get("QUANT_INT8", False))
     QUANT_MIN_CH = int(tpu.get("QUANT_MIN_CH", 256))
     scales_path = tpu.get("QUANT_SCALES_PATH", "") or ""
     QUANT_SCALES = load_quant_scales(scales_path) if scales_path else {}
-    QUANT_TAGS = load_quant_tags(scales_path) if scales_path else {}
-    # Per-trace call-index counter (see QUANT_SCALES): every traced closure
-    # calls this at its start, so indices restart at 0 per trace.
-    QUANT_CALL_COUNTS = {}
     QUANT_OBSERVED_TAGS = {}
-    QUANT_TAG_MISMATCHES = []
+    QUANT_SCALE_MISSES = []
 
 
 def _int8_conv(x, kernel, *, strides, padding, rhs_dilation, groups, out_dtype, act_amax=None):
@@ -318,32 +309,24 @@ class FoldableConv(nn.Module):
             # per FPN level) for EVERY folded conv so one calibration run
             # serves any QUANT_MIN_CH gate choice.
             self.sow("intermediates", "act_amax", jnp.max(jnp.abs(x.astype(jnp.float32))))
-            # Per-call static scale lookup; the trace-time call counter
-            # mirrors the order calibration sowed (set_quant_from_cfg
-            # resets it per traced closure). The shape tag makes the
-            # call-order invariant CHECKED: a mismatched tag means the call
-            # pattern diverged from calibration (or the canvas changed) and
-            # the scale constant would be wrong — fall back to dynamic.
+            # Static scale lookup by (path, activation shape tag) — see
+            # QUANT_SCALES. A miss (un-calibrated canvas or call pattern)
+            # falls back to the dynamic scale and warns: degraded
+            # throughput, never a silently-wrong constant.
             path = "/".join(self.scope.path)
-            idx = QUANT_CALL_COUNTS.get(path, 0)
-            QUANT_CALL_COUNTS[path] = idx + 1
             tag = f"{x.shape[1]}x{x.shape[2]}x{x.shape[3]}"
             QUANT_OBSERVED_TAGS.setdefault(path, []).append(tag)
-            entry = QUANT_SCALES.get(path)
-            if entry is not None and idx < len(entry):
-                expect = QUANT_TAGS.get(path)
-                if expect is not None and idx < len(expect) and expect[idx] != tag:
-                    QUANT_TAG_MISMATCHES.append((path, idx, expect[idx], tag))
+            if QUANT_SCALES:
+                act_amax = QUANT_SCALES.get(path, {}).get(tag)
+                if act_amax is None:
+                    QUANT_SCALE_MISSES.append((path, tag))
                     import logging
 
                     logging.getLogger(__name__).warning(
-                        "static int8 scale tag mismatch at %s call %d: calibrated "
-                        "on %s, tracing %s — falling back to a dynamic scale "
-                        "(recalibrate for this canvas/call pattern)",
-                        path, idx, expect[idx], tag,
+                        "static int8 scales: no calibrated scale for %s at shape %s — "
+                        "falling back to a dynamic scale (recalibrate for this canvas)",
+                        path, tag,
                     )
-                else:
-                    act_amax = entry[idx]
         if QUANT_INT8 and mul is not None and x.shape[-1] >= QUANT_MIN_CH:
             # Folded convs exist only in eval graphs (and FrozenBN trains);
             # quantizing exactly this set covers the backbone + towers and

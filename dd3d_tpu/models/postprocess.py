@@ -112,11 +112,11 @@ def _infer_fingerprint(cfg, group_size: int) -> tuple:
     scales_fp = ()
     scales_path = cfg.TPU.get("QUANT_SCALES_PATH", "") or ""
     if scales_path and bool(cfg.TPU.get("QUANT_INT8", False)):
-        from dd3d_tpu.models.layers import load_quant_scales, load_quant_tags
+        from dd3d_tpu.models.layers import load_quant_scales
 
-        scales_fp = (
-            tuple(sorted(load_quant_scales(scales_path).items())),
-            tuple(sorted(load_quant_tags(scales_path).items())),
+        scales_fp = tuple(
+            (path, tuple(sorted(ent.items())))
+            for path, ent in sorted(load_quant_scales(scales_path).items())
         )
     return (
         cfg.MODEL.META_ARCHITECTURE, cfg.MODEL.BOX3D_ON,

@@ -72,7 +72,23 @@ def main():
     init_img = jnp.zeros((1, 384, 1280, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), init_img, train=False)
 
+    if "--int8" in _sys.argv:
+        # The shipped serving quantization, calibrated per TTA canvas shape
+        # (tag-keyed scales serve every bucket from one merged file — the
+        # same mechanism models/tta.py uses lazily per bucket).
+        from dd3d_tpu.models.calibrate import prepare_static_scales
+
+        variant_cfg.TPU.QUANT_INT8 = True
+        variant_cfg.TPU.QUANT_MIN_CH = 32
+        calib = [rng.rand(2, ph, pw, 3).astype(np.float32) * 255 for (ph, pw) in buckets]
+        variant_cfg = prepare_static_scales(variant_cfg, model, variables,
+                                            [jnp.asarray(c) for c in calib], tag="tta_ab")
+        print("int8: static scales calibrated for", list(buckets), flush=True)
+
     def infer(variables, images, intrinsics):
+        import dd3d_tpu.models.layers as _L
+
+        _L.set_quant_from_cfg(variant_cfg)  # trace-time no-op unless int8
         outputs = model.apply(variables, images, train=False)
         return dd3d_inference(variant_cfg, outputs, intrinsics)
 

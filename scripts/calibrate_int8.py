@@ -94,8 +94,7 @@ def main():
 
     scales = capture_scales(cfg, model, variables, batches())
     if args.headroom != 1.0:
-        scales = {kk: v if kk == "__tags__" else [x * args.headroom for x in v]
-                  for kk, v in scales.items()}
+        scales = {kk: {t: a * args.headroom for t, a in v.items()} for kk, v in scales.items()}
     with open(args.out, "w") as f:
         json.dump(scales, f, indent=0, sort_keys=True)
     print(f"wrote {args.out}; use with TPU.QUANT_INT8=True TPU.QUANT_SCALES_PATH={args.out}")

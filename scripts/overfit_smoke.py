@@ -97,6 +97,9 @@ def main():
                              "config (calibrated on this fixture) and report per-metric dAP")
     parser.add_argument("--max-dap", type=float, default=None,
                         help="with --int8-ab: fail if any |dAP| exceeds this")
+    parser.add_argument("--skip-train", action="store_true",
+                        help="restore the latest checkpoint from the output dir instead of "
+                             "training (re-run evals only)")
     args = parser.parse_args()
 
     make_fixture(args.root, n_images=args.n_images)
@@ -135,7 +138,22 @@ def main():
     model = build_model(cfg)
 
     output_dir = "/tmp/dd3d_overfit_out"
-    state = do_train(cfg, model, output_dir)
+    if args.skip_train:
+        import jax
+        import jax.numpy as jnp
+
+        from dd3d_tpu.training.checkpoint import CheckpointManager
+        from dd3d_tpu.training.optim import build_optimizer
+        from dd3d_tpu.training.train_step import TrainState
+
+        variables0 = jax.jit(lambda r, x: model.init(r, x, train=False))(
+            jax.random.PRNGKey(0), jnp.zeros((1, 128, 128, 3))
+        )
+        tx = build_optimizer(cfg, variables0["params"])
+        st = TrainState.create(variables0["params"], variables0.get("batch_stats", {}), tx)
+        state = CheckpointManager(os.path.join(output_dir, "ckpt")).restore(st)
+    else:
+        state = do_train(cfg, model, output_dir)
     results = do_test(cfg, model, output_dir, state=state)
 
     kitti = results.get("kitti_3d", {})

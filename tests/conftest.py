@@ -42,11 +42,11 @@ def _reset_quant_globals():
 
     global _QUANT_DEFAULTS
     if _QUANT_DEFAULTS is None:  # captured once, before any test can pollute
-        _QUANT_DEFAULTS = (L.QUANT_INT8, L.QUANT_MIN_CH, L.QUANT_SCALES, L.QUANT_CALL_COUNTS,
-                           L.QUANT_TAGS, L.QUANT_OBSERVED_TAGS, L.QUANT_TAG_MISMATCHES)
+        _QUANT_DEFAULTS = (L.QUANT_INT8, L.QUANT_MIN_CH, L.QUANT_SCALES,
+                           L.QUANT_OBSERVED_TAGS, L.QUANT_SCALE_MISSES)
     yield
-    (L.QUANT_INT8, L.QUANT_MIN_CH, L.QUANT_SCALES, L.QUANT_CALL_COUNTS,
-     L.QUANT_TAGS, L.QUANT_OBSERVED_TAGS, L.QUANT_TAG_MISMATCHES) = _QUANT_DEFAULTS
+    (L.QUANT_INT8, L.QUANT_MIN_CH, L.QUANT_SCALES,
+     L.QUANT_OBSERVED_TAGS, L.QUANT_SCALE_MISSES) = _QUANT_DEFAULTS
 
 
 _QUANT_DEFAULTS = None

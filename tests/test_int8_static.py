@@ -1,8 +1,11 @@
 """Static (calibrated) int8 PTQ: activation scales recorded by a calibration
 pass become trace-time constants (TPU.QUANT_SCALES_PATH), deleting the
-dynamic per-batch abs-max reduces. Pins (a) the capture mechanism (sown
-abs-max per folded conv), (b) bit-exact equality static-vs-dynamic when
-calibrated on the very batch being inferred, (c) closure-cache routing on
+dynamic per-batch abs-max reduces. Scales are keyed (conv_path, activation
+shape tag) — no call-order assumption, and one merged file serves several
+canvases (the TTA buckets). Pins (a) the capture mechanism (sown abs-max
+per folded conv, tag-paired), (b) bit-exact equality static-vs-dynamic when
+calibrated on the very batch being inferred, (c) safe dynamic fallback on
+(path, tag) misses, (d) multi-canvas merge, (e) closure-cache routing on
 the scales-file content. cf. the inference path this accelerates,
 tridet/modeling/dd3d/fcos2d.py:242-367."""
 import json
@@ -48,66 +51,77 @@ def built():
     return cfg, model, images, intr, variables
 
 
-def _capture(cfg, model, variables, images):
-    import os
-    import sys
+def _capture(cfg, model, variables, image_batches):
+    from dd3d_tpu.models.calibrate import capture_scales
 
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "scripts"))
-    from calibrate_int8 import capture_scales
+    if not isinstance(image_batches, list):
+        image_batches = [image_batches]
+    return capture_scales(cfg, model, variables, image_batches)
 
-    return capture_scales(cfg, model, variables, [images])
+
+def _eager_scales(model, variables, images):
+    """Dynamic-PTQ eager pass; returns ({path: {tag: amax}}, outputs)."""
+    from flax import traverse_util
+
+    dyn, inter = model.apply(variables, images, train=False, mutable=["intermediates"])
+    tags = {k: list(v) for k, v in L.QUANT_OBSERVED_TAGS.items()}
+    scales = {}
+    for k, v in traverse_util.flatten_dict(inter["intermediates"]).items():
+        if k[-1] != "act_amax":
+            continue
+        path = "/".join(k[:-1])
+        ent = scales.setdefault(path, {})
+        for tag, amax in zip(tags.get(path, []), [float(x) for x in v]):
+            ent[tag] = max(amax, ent.get(tag, 0.0))
+    return scales, dyn
 
 
 def test_capture_covers_every_folded_conv(built):
     cfg, model, images, _, variables = built
     scales = _capture(cfg, model, variables, images)
-    # Every scale entry carries a matching shape-tag entry (the checked
-    # call-order invariant, models/layers.py QUANT_TAGS).
-    tags = scales.pop("__tags__")
-    assert set(tags) == set(scales)
-    assert all(len(tags[k]) == len(scales[k]) for k in scales)
     # DLA-46-C backbone + FPN norms + head towers: every ConvNorm with a
     # norm contributes one folded conv; predictors (norm-free) must not.
     assert len(scales) > 20, sorted(scales)
-    assert all(x > 0 for v in scales.values() for x in v)
-    # shared tower convs record one scale PER CALL (= per FPN level)
+    assert all(isinstance(v, dict) and v for v in scales.values())
+    assert all(a > 0 for v in scales.values() for a in v.values())
+    # shared tower convs record one scale PER LEVEL SHAPE (= per FPN level)
     n_levels = len(cfg.FE.OUT_FEATURES)
     tower = [k for k in scales if k.startswith(("fcos2d_head/", "fcos3d_head/")) and "tower" in k]
     assert tower and all(len(scales[k]) == n_levels for k in tower), {
         k: len(scales[k]) for k in tower
     }
+    # tags are "HxWxC" of the conv input
+    for k in tower:
+        for t in scales[k]:
+            h, w, c = (int(x) for x in t.split("x"))
+            assert h > 0 and w > 0 and c > 0
     # paths are the scope paths the static lookup uses: backbone + heads
     assert any(k.startswith("backbone/") for k in scales)
     assert any(k.startswith("fcos2d_head/") for k in scales)
 
 
 def test_static_equals_dynamic_eager_exact(built, monkeypatch):
-    """Per-call mechanism pin: calibrating on batch X (eagerly) and statically
-    re-running X (eagerly) reproduces the dynamic-PTQ result BIT-EXACTLY —
-    the recorded per-call abs-max IS the dynamic scale, _int8_conv's static
-    branch uses identical f32 arithmetic, and the trace-time call counter
-    lines up with sow order. (Eager on both sides: across *different jitted
-    programs* XLA fusion changes bf16 intermediate rounding by ±1 ulp, which
-    legitimately shifts dynamic scales — that path is covered by the
-    closeness test below.)"""
+    """Tag-keying mechanism pin: calibrating on batch X (eagerly) and
+    statically re-running X (eagerly) reproduces the dynamic-PTQ result
+    BIT-EXACTLY — the recorded abs-max IS the dynamic scale and
+    _int8_conv's static branch uses identical f32 arithmetic. (Eager on
+    both sides: across *different jitted programs* XLA fusion changes bf16
+    intermediate rounding by ±1 ulp, which legitimately shifts dynamic
+    scales — that path is covered by the closeness test below.)"""
     cfg, model, images, _, variables = built
-    from flax import traverse_util
 
     monkeypatch.setattr(L, "QUANT_INT8", True)
     monkeypatch.setattr(L, "QUANT_MIN_CH", 0)
     monkeypatch.setattr(L, "QUANT_SCALES", {})
-    monkeypatch.setattr(L, "QUANT_CALL_COUNTS", {})
-    dyn, inter = model.apply(variables, images, train=False, mutable=["intermediates"])
-    scales = {
-        "/".join(k[:-1]): tuple(float(x) for x in v)
-        for k, v in traverse_util.flatten_dict(inter["intermediates"]).items()
-        if k[-1] == "act_amax"
-    }
+    monkeypatch.setattr(L, "QUANT_OBSERVED_TAGS", {})
+    monkeypatch.setattr(L, "QUANT_SCALE_MISSES", [])
+    scales, dyn = _eager_scales(model, variables, images)
     assert scales
 
     monkeypatch.setattr(L, "QUANT_SCALES", scales)
-    monkeypatch.setattr(L, "QUANT_CALL_COUNTS", {})
+    monkeypatch.setattr(L, "QUANT_SCALE_MISSES", [])
     sta = model.apply(variables, images, train=False)
+    assert not L.QUANT_SCALE_MISSES, L.QUANT_SCALE_MISSES[:5]
     for key in dyn:
         for lvl, (a, b) in enumerate(zip(dyn[key], sta[key])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f"{key}[{lvl}]")
@@ -158,79 +172,99 @@ def test_partial_scales_fall_back_to_dynamic(built, monkeypatch):
     cfg, model, images, intr, variables = built
     from dd3d_tpu.models.dd3d import dd3d_inference
 
-    from flax import traverse_util
-
     monkeypatch.setattr(L, "QUANT_INT8", True)
     monkeypatch.setattr(L, "QUANT_MIN_CH", 0)
     monkeypatch.setattr(L, "QUANT_SCALES", {})
-    monkeypatch.setattr(L, "QUANT_CALL_COUNTS", {})
-    out, inter = model.apply(variables, images, train=False, mutable=["intermediates"])
+    monkeypatch.setattr(L, "QUANT_OBSERVED_TAGS", {})
+    monkeypatch.setattr(L, "QUANT_SCALE_MISSES", [])
+    scales, out = _eager_scales(model, variables, images)
     dyn = jax.device_get(dd3d_inference(cfg, out, intr))
-    scales = {
-        "/".join(k[:-1]): tuple(float(x) for x in v)
-        for k, v in traverse_util.flatten_dict(inter["intermediates"]).items()
-        if k[-1] == "act_amax"
-    }
     partial = dict(list(sorted(scales.items()))[::2])  # every other conv
 
     monkeypatch.setattr(L, "QUANT_SCALES", partial)
-    monkeypatch.setattr(L, "QUANT_CALL_COUNTS", {})
+    monkeypatch.setattr(L, "QUANT_SCALE_MISSES", [])
     mix = jax.device_get(dd3d_inference(cfg, model.apply(variables, images, train=False), intr))
     for k in dyn:
         np.testing.assert_array_equal(dyn[k], mix[k], err_msg=k)
 
 
-def test_tag_mismatch_falls_back_to_dynamic(built, monkeypatch):
-    """The call-index invariant is CHECKED (VERDICT r4): permuting the
-    calibrated shape tags (simulating a reordered tower call pattern, or a
-    different serving canvas) must (a) record mismatches, (b) fall back to
-    the dynamic scale for exactly those calls — here calibrated-on-this-batch
-    dynamic == static, so the output stays bit-exact while the program
-    degrades to dynamic scales instead of applying wrong constants."""
+def test_unknown_tag_falls_back_to_dynamic(built, monkeypatch):
+    """The shape-tag keying is CHECKED (VERDICT r4 #7): serving a canvas
+    (or call pattern) whose tags were never calibrated must (a) record the
+    misses, (b) fall back to the dynamic scale for exactly those calls —
+    here calibrated-on-this-batch dynamic == static, so the output stays
+    bit-exact while the program degrades to dynamic scales instead of
+    applying wrong constants."""
     cfg, model, images, _, variables = built
 
     monkeypatch.setattr(L, "QUANT_INT8", True)
     monkeypatch.setattr(L, "QUANT_MIN_CH", 0)
     monkeypatch.setattr(L, "QUANT_SCALES", {})
-    monkeypatch.setattr(L, "QUANT_CALL_COUNTS", {})
-    monkeypatch.setattr(L, "QUANT_TAGS", {})
     monkeypatch.setattr(L, "QUANT_OBSERVED_TAGS", {})
-    monkeypatch.setattr(L, "QUANT_TAG_MISMATCHES", [])
-    from flax import traverse_util
-
-    dyn, inter = model.apply(variables, images, train=False, mutable=["intermediates"])
-    scales = {
-        "/".join(k[:-1]): tuple(float(x) for x in v)
-        for k, v in traverse_util.flatten_dict(inter["intermediates"]).items()
-        if k[-1] == "act_amax"
-    }
-    true_tags = {k: tuple(v) for k, v in L.QUANT_OBSERVED_TAGS.items()}
-    # Rotate per-call tags — multi-call (shared tower) paths now claim each
-    # scale was calibrated on a different FPN level's shape.
-    rotated = {k: v[1:] + v[:1] for k, v in true_tags.items()}
-    multi = [k for k, v in true_tags.items() if len(set(v)) > 1]
+    monkeypatch.setattr(L, "QUANT_SCALE_MISSES", [])
+    scales, dyn = _eager_scales(model, variables, images)
+    multi = [k for k, v in scales.items() if len(v) > 1]
     assert multi, "need shared tower convs with distinct per-level shapes"
 
-    monkeypatch.setattr(L, "QUANT_SCALES", scales)
-    monkeypatch.setattr(L, "QUANT_CALL_COUNTS", {})
-    monkeypatch.setattr(L, "QUANT_TAGS", rotated)
-    monkeypatch.setattr(L, "QUANT_TAG_MISMATCHES", [])
+    # Re-tag every scale as if calibrated on a DIFFERENT canvas: every
+    # lookup misses, output must equal full-dynamic.
+    wrong = {k: {f"9{t}": a for t, a in v.items()} for k, v in scales.items()}
+    monkeypatch.setattr(L, "QUANT_SCALES", wrong)
+    monkeypatch.setattr(L, "QUANT_SCALE_MISSES", [])
     out = model.apply(variables, images, train=False)
-    assert L.QUANT_TAG_MISMATCHES, "rotated tags must be detected"
-    assert {m[0] for m in L.QUANT_TAG_MISMATCHES} >= set(multi)
+    assert L.QUANT_SCALE_MISSES, "uncalibrated tags must be detected"
+    assert {m[0] for m in L.QUANT_SCALE_MISSES} >= set(multi)
     for key in dyn:
         for lvl, (a, b) in enumerate(zip(dyn[key], out[key])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f"{key}[{lvl}]")
 
-    # Control: the true tags pass clean (no mismatch, same bit-exact output).
-    monkeypatch.setattr(L, "QUANT_CALL_COUNTS", {})
-    monkeypatch.setattr(L, "QUANT_TAGS", true_tags)
-    monkeypatch.setattr(L, "QUANT_TAG_MISMATCHES", [])
+    # Control: the true tags pass clean (no miss, same bit-exact output).
+    monkeypatch.setattr(L, "QUANT_SCALES", scales)
+    monkeypatch.setattr(L, "QUANT_SCALE_MISSES", [])
     out2 = model.apply(variables, images, train=False)
-    assert not L.QUANT_TAG_MISMATCHES
+    assert not L.QUANT_SCALE_MISSES
     for key in dyn:
         for lvl, (a, b) in enumerate(zip(dyn[key], out2[key])):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b), err_msg=f"{key}[{lvl}]")
+
+
+def test_multi_canvas_merge(built):
+    """One capture_scales run over TWO canvas shapes yields a merged file
+    whose tower entries carry BOTH canvases' level shapes — the TTA-bucket
+    calibration pattern. Tags from the two canvases must not collide for
+    the towers (distinct level shapes)."""
+    cfg, model, images, _, variables = built
+    rng = np.random.RandomState(1)
+    images_b = jnp.asarray(rng.rand(2, 128, 256, 3).astype(np.float32) * 255)
+    merged = _capture(cfg, model, variables, [images, images_b])
+    single = _capture(cfg, model, variables, [images])
+    n_levels = len(cfg.FE.OUT_FEATURES)
+    tower = [k for k in merged if "tower" in k]
+    assert tower
+    for k in tower:
+        assert len(single[k]) == n_levels
+        assert len(merged[k]) == 2 * n_levels, (k, sorted(merged[k]))
+        assert set(single[k]) <= set(merged[k])
+        # same-canvas entries agree (running max over identical batches)
+        for t, a in single[k].items():
+            assert merged[k][t] == pytest.approx(a)
+
+
+def test_legacy_percall_file_converts_or_rejects(tmp_path):
+    """Round-4 files ({path: [amax per call]} + __tags__) convert on load;
+    a legacy file WITHOUT tags is rejected (never silently mis-keyed)."""
+    p = tmp_path / "legacy.json"
+    p.write_text(json.dumps({
+        "a/conv": [1.0, 2.0],
+        "__tags__": {"a/conv": ["4x4x8", "2x2x8"]},
+    }))
+    scales = L.load_quant_scales(str(p))
+    assert scales == {"a/conv": {"4x4x8": 1.0, "2x2x8": 2.0}}
+
+    q = tmp_path / "untagged.json"
+    q.write_text(json.dumps({"a/conv": [1.0, 2.0]}))
+    with pytest.raises(ValueError, match="recalibrate"):
+        L.load_quant_scales(str(q))
 
 
 def test_scales_content_routes_through_inference_cache(built, tmp_path):
@@ -251,7 +285,7 @@ def test_scales_content_routes_through_inference_cache(built, tmp_path):
     a = np.asarray(fn_a(variables, images, intr)["scores"])
 
     time.sleep(0.01)
-    doubled = {k: v if k == "__tags__" else [x * 4.0 for x in v] for k, v in scales.items()}
+    doubled = {k: {t: x * 4.0 for t, x in v.items()} for k, v in scales.items()}
     p.write_text(json.dumps(doubled))
     import os
 

@@ -180,3 +180,53 @@ def test_train_loader_process_pool_matches_threads(kitti_root):
     for k in b0:
         np.testing.assert_array_equal(np.asarray(b0[k]), np.asarray(b1[k]), err_msg=k)
     assert [m["image_id"] for m in m0] == [m["image_id"] for m in m1]
+
+
+def test_decoded_cache_parity_and_hits(kitti_root, tmp_path):
+    """DATALOADER.DECODED_CACHE_DIR: first pass fills the cache, second pass
+    serves from it — batches must be byte-identical to the uncached loader,
+    and the second pass must not re-read the source images (hit check via
+    the in-process cache index)."""
+    from dd3d_tpu.data import native
+
+    if not native.available():
+        pytest.skip("native image IO unavailable")
+
+    from dd3d_tpu.data import build as B
+    from dd3d_tpu.data.catalog import register_datasets
+    from dd3d_tpu.data.build import build_test_dataloader
+
+    cache_dir = str(tmp_path / "decoded_cache")
+
+    def run(cache):
+        cfg = get_experiment_cfg("dd3d_kitti_dla34")
+        cfg.DATASET_ROOT = os.path.dirname(kitti_root)
+        cfg.TEST.IMS_PER_BATCH = 2
+        cfg.INPUT.RESIZE.MIN_SIZE_TEST = 288
+        cfg.DATALOADER.DECODED_CACHE_DIR = cache_dir if cache else ""
+        register_datasets(cfg)
+        loader = build_test_dataloader(cfg, dataset_name="kitti_3d_train")
+        return [b for b, _ in loader]
+
+    plain = run(cache=False)
+    first = run(cache=True)  # fills
+    files = [f for f in os.listdir(cache_dir) if f.endswith(".npy")]
+    assert len(files) == 2, files  # one per image
+    # dims ride in the filename
+    assert all(".375x1242.npy" in f for f in files), files
+
+    B._DECODED_CACHE_INDEX.clear()  # fresh process simulation: index rebuilt from listdir
+    second = run(cache=True)  # serves from cache
+    for a, b, c in zip(plain, first, second):
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(c[k]), err_msg=k)
+
+    # a stale entry (source mtime changed) must be ignored, not served
+    img_path = os.path.join(kitti_root, "training", "image_2", "000000.png")
+    os.utime(img_path, (1, 1))
+    third = run(cache=True)
+    for a, c in zip(plain, third):
+        for k in a:
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(c[k]), err_msg=k)
+    assert len([f for f in os.listdir(cache_dir) if f.endswith(".npy")]) == 3  # new key stored
