@@ -253,6 +253,14 @@ def get_cfg() -> CfgNode:
                 # a full-activation copy in fwd AND bwd, and its HBM temp
                 # OOMs batch 128. Documented dead end; leave False.
                 "S2D_BASE4": False,
+                # Pallas slab kernel for the s2d train stem's stride-1
+                # weight gradients (ops/pallas_conv.py): attacked the
+                # batch-minor [5,5,12,64] dW layout XLA picks (11.5
+                # ms/step at batch 40, ROADMAP round-4). MEASURED SLOWER
+                # on the v5e (0.85x stem, 0.39x level0 vs XLA's dW;
+                # scripts/bench_pallas_dw.py, ROADMAP round-5): a
+                # documented dead end like S2D_STEM_FOLD. Leave False.
+                "PALLAS_STEM_DW": False,
                 # Pack P4..P7 into ONE guard-banded canvas for the shared
                 # FCOS head towers/predictors at eval (models/level_pack.py):
                 # each tower layer becomes 2 conv calls (P3 + packed) instead

@@ -218,6 +218,10 @@ class DLA(nn.Module):
     # MXU lanes for the forward AND the weight gradient) then repack to
     # the s2d(2) domain for level0/level1. Exact; s2d-stem only.
     s2d_base4: bool = False
+    # Use the Pallas slab kernel for the s2d stem's stride-1 weight
+    # gradients (ops/pallas_conv.py; attacks the diagnosed [5,5,12,64]
+    # batch-minor dW, ROADMAP round-4). s2d-stem "s1" convs only.
+    pallas_stem_dw: bool = False
     dtype: Any = jnp.bfloat16
 
     @nn.compact
@@ -298,11 +302,13 @@ class DLA(nn.Module):
 
         if not base4:
             x = S2DConvNorm(ch[0], 7, mode="s1", norm=self.norm, dtype=self.dtype,
-                            valid_frac=vf, name="base_layer")(x, train, row_mask=mask)
+                            valid_frac=vf, pallas_dw=self.pallas_stem_dw,
+                            name="base_layer")(x, train, row_mask=mask)
             x = _relu_mask(x)
         for j in range(self.levels[0]):
             x = S2DConvNorm(ch[0], 3, mode="s1", norm=self.norm, dtype=self.dtype,
-                            valid_frac=vf, name=f"level0_conv{j}")(x, train, row_mask=mask)
+                            valid_frac=vf, pallas_dw=self.pallas_stem_dw,
+                            name=f"level0_conv{j}")(x, train, row_mask=mask)
             x = _relu_mask(x)
         if "level0" in self.out_features:
             x0 = unfold_batch_rows(x, b, guard) if fold else x
@@ -395,6 +401,7 @@ def _dla_trunk(cfg, dtype):
         s2d_stem=s2d,
         s2d_fold=bool(cfg.TPU.get("S2D_STEM_FOLD", False)),
         s2d_base4=bool(cfg.TPU.get("S2D_BASE4", False)),
+        pallas_stem_dw=bool(cfg.TPU.get("PALLAS_STEM_DW", False)),
         dtype=dtype,
     )
     out_channels = {f"level{i}": channels[i] for i in range(6)}

@@ -281,6 +281,10 @@ class S2DConvNorm(nn.Module):
     # Valid-row fraction for batch-folded canvases (see fold_batch_rows);
     # 1.0 = plain (B, H, W, C) input.
     valid_frac: float = 1.0
+    # mode "s1" only: route the conv through ops/pallas_conv.conv2d_s1_same
+    # so the weight gradient uses the Pallas slab kernel (forward and dx
+    # stay on XLA's emitter). See TPU.PALLAS_STEM_DW.
+    pallas_dw: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False, row_mask: Optional[jnp.ndarray] = None):
@@ -303,13 +307,19 @@ class S2DConvNorm(nn.Module):
             padding = ((1, 0), (1, 0))
         else:
             raise ValueError(self.mode)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype),
-            wt.astype(self.dtype),
-            window_strides=(1, 1),
-            padding=padding,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+        if self.pallas_dw and self.mode == "s1":
+            from dd3d_tpu.ops.pallas_conv import conv2d_s1_same
+
+            y = conv2d_s1_same(x.astype(self.dtype), wt.astype(self.dtype),
+                               jax.default_backend() != "tpu")
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype),
+                wt.astype(self.dtype),
+                window_strides=(1, 1),
+                padding=padding,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
         if row_mask is not None:
             # Guard-row conv outputs read rows of two adjacent images —
             # zero them so the BN statistics below see exact zeros there.

@@ -15,7 +15,9 @@ def main():
     root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/dd3d_overfit_fixture"
     workers_list = ([int(x) for x in sys.argv[3].split(",")] if len(sys.argv) > 3 else [1, 2, 4, 8])
     target = float(sys.argv[4]) if len(sys.argv) > 4 else 598.6  # bench.py imgs/s/chip
+    cache_dir = sys.argv[5] if len(sys.argv) > 5 else ""  # DATALOADER.DECODED_CACHE_DIR
     cfg = get_experiment_cfg("dd3d_kitti_dla34")
+    cfg.DATALOADER.DECODED_CACHE_DIR = cache_dir
     cfg.DATASET_ROOT = root
     cfg.DATASETS.TRAIN.NAME = "kitti_3d_train"
     cfg.SOLVER.IMS_PER_BATCH = 16

@@ -208,3 +208,40 @@ def test_s2d_cli_coercion():
     assert _coerce_s2d("false") is False
     assert _coerce_s2d(True) is True
     assert _coerce_s2d(False) is False
+
+
+def test_pallas_dw_stem_gradients_match(rng):
+    """TPU.PALLAS_STEM_DW routes the s1 stem convs through the Pallas
+    weight-gradient kernel (ops/pallas_conv.py, interpret mode off-TPU):
+    forward outputs are identical and the FULL stem gradient matches the
+    XLA path in f32 to tight tolerance (same accumulation dtypes)."""
+    kw = dict(
+        levels=[1, 1, 1, 2, 2, 1],
+        channels=[16, 32, 64, 128, 256, 512],
+        block=BasicBlock,
+        out_features=("level1",),
+        norm="BN",
+        dtype=jnp.float32,
+    )
+    m_xla = DLA(s2d_stem=True, **kw)
+    m_pal = DLA(s2d_stem=True, pallas_stem_dw=True, **kw)
+    x = jnp.asarray(rng.rand(2, 64, 64, 3).astype(np.float32)) * 10 - 5
+    v = m_xla.init(jax.random.PRNGKey(0), x, train=True)
+
+    def loss(m, params):
+        out, _ = m.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, x, train=True,
+            mutable=["batch_stats"],
+        )
+        return jnp.sum(out["level1"].astype(jnp.float32) ** 2)
+
+    la, ga = jax.value_and_grad(lambda p: loss(m_xla, p))(v["params"])
+    lb, gb = jax.value_and_grad(lambda p: loss(m_pal, p))(v["params"])
+    np.testing.assert_allclose(float(la), float(lb), rtol=1e-6)
+    flat_a = {"/".join(str(k.key) for k in p): g for p, g in jax.tree_util.tree_flatten_with_path(ga)[0]}
+    flat_b = {"/".join(str(k.key) for k in p): g for p, g in jax.tree_util.tree_flatten_with_path(gb)[0]}
+    assert set(flat_a) == set(flat_b)
+    for k in flat_a:
+        a, b = np.asarray(flat_a[k]), np.asarray(flat_b[k])
+        scale = max(np.max(np.abs(a)), 1e-6)
+        np.testing.assert_allclose(b / scale, a / scale, atol=5e-3, err_msg=k)
