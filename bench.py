@@ -43,10 +43,15 @@ def main():
 
     # KITTI eval resolution: min side 384 -> (384, 1242) padded to /128.
     # Large batch amortizes per-call dispatch/latency overheads (measured
-    # round 2: 543 imgs/s @96, 583 @128 on v5e).
+    # round 2: 543 imgs/s @96, 583 @128 on v5e; static-int8 sweep round 5:
+    # 854.6 @128, 773.1 @192, 841.7 @256 — 128 stays optimal).
+    # uint8 input: what the real loader feeds the device (data/mapper.py
+    # keeps images in native dtype) — measured +0.7% over an f32 feed with
+    # bit-identical detections (preprocess_image normalizes in f32 either
+    # way), and quarters the input HBM read.
     b, h, w = 128, 384, 1280
     rng = np.random.RandomState(0)
-    images = jnp.asarray(rng.rand(b, h, w, 3).astype(np.float32) * 255)
+    images = jnp.asarray((rng.rand(b, h, w, 3) * 255).astype(np.uint8))
     intrinsics = jnp.asarray(
         np.tile(np.array([[721.5, 0, 609.5], [0, 721.5, 172.8], [0, 0, 1]], np.float32), (b, 1, 1))
     )

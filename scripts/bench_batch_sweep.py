@@ -27,6 +27,11 @@ def main(batches):
     from dd3d_tpu.models.dd3d import dd3d_inference
 
     cfg = get_experiment_cfg("dd3d_kitti_dla34")
+    int8 = "--int8" in sys.argv
+    if int8:
+        # Mirror bench.py's shipped static-int8 config via the shared helper.
+        cfg.TPU.QUANT_INT8 = True
+        cfg.TPU.QUANT_MIN_CH = 32
     model = build_model(cfg)
     h, w = 384, 1280
     rng = np.random.RandomState(0)
@@ -34,10 +39,18 @@ def main(batches):
     variables = model.init(
         jax.random.PRNGKey(0), jnp.asarray(rng.rand(1, h, w, 3), jnp.float32), train=False
     )
-    log("init done")
+    if int8:
+        from dd3d_tpu.models.calibrate import prepare_static_scales
+
+        calib = jnp.asarray(rng.rand(8, h, w, 3).astype(np.float32) * 255)
+        cfg = prepare_static_scales(cfg, model, variables, [calib], tag="sweep")
+    log("init done" + (" (static int8)" if int8 else ""))
 
     @jax.jit
     def infer(v, im, K):
+        import dd3d_tpu.models.layers as L
+
+        L.set_quant_from_cfg(cfg)  # trace-time, see layers.py
         return dd3d_inference(cfg, model.apply(v, im, train=False), K)
 
     for b in batches:
@@ -59,4 +72,4 @@ def main(batches):
 
 
 if __name__ == "__main__":
-    main([int(x) for x in (sys.argv[1:] or ["128", "160", "192", "224", "256"])])
+    main([int(x) for x in [a for a in sys.argv[1:] if not a.startswith("--")] or ["128", "160", "192", "224", "256"]])
