@@ -135,7 +135,9 @@ def main():
         from dd3d_tpu.models.dd3d import dd3d_inference
 
         rng = np.random.RandomState(0)
-        images = jnp.asarray(rng.rand(batch_size, 384, 1280, 3).astype(np.float32) * 255)
+        # uint8: what the real loader feeds the device (and bench.py since
+        # round 5) — keeps the traced program identical to the shipped one.
+        images = jnp.asarray((rng.rand(batch_size, 384, 1280, 3) * 255).astype(np.uint8))
         k = np.array([[721.5, 0, 609.5], [0, 721.5, 172.8], [0, 0, 1]], np.float32)
         intrinsics = jnp.asarray(np.tile(k, (batch_size, 1, 1)))
         variables = model.init(jax.random.PRNGKey(0), images[:1], train=False)
