@@ -106,3 +106,33 @@ def test_static_decode_matches_dynamic_oracle(rng):
             top_ref_box = max(oracle[i], key=lambda t: t[0])[1]
             top_idx = int(np.argmax(np.where(valid, np.asarray(det["scores"][i]), -1)))
             np.testing.assert_allclose(np.asarray(det["boxes2d"][i][top_idx]), top_ref_box, atol=1e-3)
+
+
+def test_gather_fields_matches_per_field_take(rng):
+    """models/dd3d.py::_gather_fields packs every per-candidate field into
+    one row gather (the round-5 decode optimization). Pin that it equals
+    per-field take_along_axis exactly, across dtypes (f32 / int32 / bool)
+    and ranks (2-D and 3-D fields)."""
+    import jax.numpy as jnp
+
+    from dd3d_tpu.models.dd3d import _gather_fields
+
+    b, n, k = 3, 37, 11
+    d = {
+        "score": jnp.asarray(rng.randn(b, n).astype(np.float32)) * 1e10,
+        "box": jnp.asarray(rng.randn(b, n, 4).astype(np.float32)),
+        "cls": jnp.asarray(rng.randint(0, 19, (b, n)).astype(np.int32)),
+        "valid": jnp.asarray(rng.rand(b, n) > 0.5),
+        "quat": jnp.asarray(rng.randn(b, n, 4).astype(np.float32)),
+        "fpn_level": jnp.asarray(rng.randint(0, 5, (b, n)).astype(np.int32)),
+    }
+    idx = jnp.asarray(np.stack([rng.permutation(n)[:k] for _ in range(b)]).astype(np.int32))
+    out = _gather_fields(d, idx)
+    assert set(out) == set(d)
+    for key, v in d.items():
+        if v.ndim == 3:
+            ref = jnp.take_along_axis(v, idx[..., None], axis=1)
+        else:
+            ref = jnp.take_along_axis(v, idx, axis=1)
+        assert out[key].dtype == v.dtype, key
+        np.testing.assert_array_equal(np.asarray(out[key]), np.asarray(ref), err_msg=key)
