@@ -39,6 +39,10 @@ def main():
     # Drift pinned by tests/test_int8_infer.py + test_int8_static.py.
     cfg.TPU.QUANT_INT8 = True
     cfg.TPU.QUANT_MIN_CH = 32
+    # Round 5: also quantize the norm-free predictor convs (+2%: 896 ->
+    # 914 imgs/s measured; score drift ~1e-4, overfit AP A/B dAP = 0.00 —
+    # scripts/overfit_smoke.py --int8-ab --quant-unfolded).
+    cfg.TPU.QUANT_UNFOLDED = True
     model = build_model(cfg)
 
     # KITTI eval resolution: min side 384 -> (384, 1242) padded to /128.

@@ -288,6 +288,14 @@ def get_cfg() -> CfgNode:
                 # abs-max reduce passes disappear. Convs missing from the
                 # file keep dynamic scales.
                 "QUANT_SCALES_PATH": "",
+                # Also quantize UNFOLDED convs (no norm to fold — the head
+                # predictor convs; everything else quantizable is folded).
+                # These produce the decode inputs directly, so quantization
+                # noise hits scores/boxes without a norm in between; keep
+                # off unless the serving config's AP drift is re-validated
+                # (overfit_smoke --int8-ab gate). Measured on v5e (ROADMAP
+                # round-5).
+                "QUANT_UNFOLDED": False,
                 # Mesh axis names: data-parallel axis.
                 "MESH_AXES": ["data"],
             },

@@ -177,6 +177,13 @@ QUANT_MIN_CH = 256
 # inference with mutable=["intermediates"] + a running max over batches.
 QUANT_SCALES = {}
 
+# Also quantize UNFOLDED convs (mul is None — the norm-free head predictor
+# convs). Opt-in via TPU.QUANT_UNFOLDED: the predictors produce the decode
+# inputs directly, so their quantization noise reaches scores/boxes with no
+# norm in between; drift is bounded by tests and the overfit AP gate, but
+# the shipped serving config keeps them bf16 (measurement in ROADMAP r5).
+QUANT_UNFOLDED = False
+
 # Trace-time capture: {path: [tag per call]} in sow order (matches the order
 # `sow` appends abs-maxes), read back by calibrate.capture_scales to pair
 # each observed amax with its shape tag.
@@ -224,11 +231,12 @@ def set_quant_from_cfg(cfg):
     """Set the trace-time PTQ globals from TPU.QUANT_INT8 / TPU.QUANT_MIN_CH /
     TPU.QUANT_SCALES_PATH. Call inside the function being jitted (runs at
     trace time only)."""
-    global QUANT_INT8, QUANT_MIN_CH, QUANT_SCALES
+    global QUANT_INT8, QUANT_MIN_CH, QUANT_SCALES, QUANT_UNFOLDED
     global QUANT_OBSERVED_TAGS, QUANT_SCALE_MISSES
     tpu = cfg.get("TPU", {})
     QUANT_INT8 = bool(tpu.get("QUANT_INT8", False))
     QUANT_MIN_CH = int(tpu.get("QUANT_MIN_CH", 256))
+    QUANT_UNFOLDED = bool(tpu.get("QUANT_UNFOLDED", False))
     scales_path = tpu.get("QUANT_SCALES_PATH", "") or ""
     QUANT_SCALES = load_quant_scales(scales_path) if scales_path else {}
     QUANT_OBSERVED_TAGS = {}
@@ -301,7 +309,8 @@ class FoldableConv(nn.Module):
             bias = (bias * mul + add) if bias is not None else add
         p = self.dilation * (k - 1) // 2
         act_amax = None
-        if QUANT_INT8 and mul is not None:
+        quant_eligible = mul is not None or QUANT_UNFOLDED
+        if QUANT_INT8 and quant_eligible:
             # Calibration capture: observed per-call activation abs-max, a
             # no-op (dead code XLA removes) unless the caller applies with
             # mutable=["intermediates"] (scripts/calibrate_int8.py). Sown
@@ -327,10 +336,11 @@ class FoldableConv(nn.Module):
                         "falling back to a dynamic scale (recalibrate for this canvas)",
                         path, tag,
                     )
-        if QUANT_INT8 and mul is not None and x.shape[-1] >= QUANT_MIN_CH:
+        if QUANT_INT8 and quant_eligible and x.shape[-1] >= QUANT_MIN_CH:
             # Folded convs exist only in eval graphs (and FrozenBN trains);
             # quantizing exactly this set covers the backbone + towers and
-            # leaves predictors / norm-free convs in bf16.
+            # leaves predictors / norm-free convs in bf16 — unless
+            # TPU.QUANT_UNFOLDED opts the predictors in too.
             y = _int8_conv(
                 x,
                 kernel,
@@ -461,13 +471,40 @@ def fused_predictor_apply(x, preds, dtype):
         )
     else:
         bias = None
-    y = jax.lax.conv_general_dilated(
-        x.astype(dtype),
-        kern.astype(dtype),
-        window_strides=(1, 1),
-        padding=[(p, p), (p, p)],
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    if QUANT_INT8 and QUANT_UNFOLDED:
+        # TPU.QUANT_UNFOLDED opt-in: quantize the predictor convs too (same
+        # scheme as FoldableConv — per-out-channel weight scales, per-tensor
+        # activation scale, static when calibrated). Keyed by the FIRST
+        # sibling's module path, since the group runs as one conv.
+        m0 = preds[0]
+        m0.sow("intermediates", "act_amax", jnp.max(jnp.abs(x.astype(jnp.float32))))
+        path = "/".join(m0.scope.path)
+        tag = f"{x.shape[1]}x{x.shape[2]}x{x.shape[3]}"
+        QUANT_OBSERVED_TAGS.setdefault(path, []).append(tag)
+        act_amax = None
+        if QUANT_SCALES:
+            act_amax = QUANT_SCALES.get(path, {}).get(tag)
+            if act_amax is None:
+                QUANT_SCALE_MISSES.append((path, tag))
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "static int8 scales: no calibrated scale for %s at shape %s — "
+                    "falling back to a dynamic scale (recalibrate for this canvas)",
+                    path, tag,
+                )
+        y = _int8_conv(
+            x, kern, strides=(1, 1), padding=[(p, p), (p, p)],
+            rhs_dilation=(1, 1), groups=1, out_dtype=dtype, act_amax=act_amax,
+        )
+    else:
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kern.astype(dtype),
+            window_strides=(1, 1),
+            padding=[(p, p), (p, p)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
     if bias is not None:
         y = y + bias.astype(y.dtype)
     outs = []

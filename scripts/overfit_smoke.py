@@ -97,6 +97,9 @@ def main():
                              "config (calibrated on this fixture) and report per-metric dAP")
     parser.add_argument("--max-dap", type=float, default=None,
                         help="with --int8-ab: fail if any |dAP| exceeds this")
+    parser.add_argument("--quant-unfolded", action="store_true",
+                        help="with --int8-ab: also quantize the norm-free predictor "
+                             "convs (TPU.QUANT_UNFOLDED) in the int8 arm")
     parser.add_argument("--skip-train", action="store_true",
                         help="restore the latest checkpoint from the output dir instead of "
                              "training (re-run evals only)")
@@ -175,7 +178,10 @@ def main():
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         loader = build_test_dataloader(cfg, dataset_name=cfg.DATASETS.TEST.NAME, group_size=1)
         calib_images = [batch["image"] for batch, _ in loader]
-        icfg = prepare_static_scales(cfg, model, variables, calib_images, tag="overfit_ab")
+        ab_cfg = cfg.clone()
+        if args.quant_unfolded:
+            ab_cfg.TPU.QUANT_UNFOLDED = True  # predictors quantize too
+        icfg = prepare_static_scales(ab_cfg, model, variables, calib_images, tag="overfit_ab")
         icfg.TPU.QUANT_MIN_CH = 32  # the shipped gate (bench.py)
         results8 = do_test(icfg, model, output_dir, state=state)
         kitti8 = results8.get("kitti_3d", {})

@@ -200,3 +200,33 @@ def test_train_step_forces_quant_off():
     p1 = jax.tree_util.tree_leaves(new_state.params)
     moved = sum(float(np.abs(np.asarray(a) - np.asarray(b)).max()) for a, b in zip(p0, p1))
     assert moved > 0.0
+
+
+def test_quant_unfolded_gate(monkeypatch):
+    """TPU.QUANT_UNFOLDED extends int8 to the norm-free predictor convs
+    (layers.fused_predictor_apply). Default OFF: predictors bit-identical
+    even with QUANT_INT8 on. ON: quantized, drift bounded like any PTQ
+    conv."""
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(1, 8, 8, 32).astype(np.float32))
+    m = L.PredictorConv(6, 32, dtype=jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x)
+    base = np.asarray(m.apply(v, x))
+
+    monkeypatch.setattr(L, "QUANT_INT8", True)
+    monkeypatch.setattr(L, "QUANT_MIN_CH", 0)
+    off = np.asarray(m.apply(v, x))
+    np.testing.assert_array_equal(base, off)  # QUANT_UNFOLDED defaults False
+
+    monkeypatch.setattr(L, "QUANT_UNFOLDED", True)
+    on = np.asarray(m.apply(v, x))
+    assert not np.array_equal(base, on), "flag should engage the int8 path"
+    denom = np.maximum(np.abs(base), np.percentile(np.abs(base), 50))
+    assert np.mean(np.abs(base - on) / denom) < 0.02
+
+    # Calibration sees the predictor too: sow emits an act_amax under the
+    # module path so capture_scales/prepare_static_scales cover it.
+    _, inter = m.apply(v, x, mutable=["intermediates"])
+    flat = jax.tree_util.tree_leaves(inter)
+    assert len(flat) == 1 and float(flat[0]) == pytest.approx(
+        float(jnp.max(jnp.abs(x))))
